@@ -1,0 +1,55 @@
+"""Global configuration for the TPU-native spherical raytracer.
+
+The reference library (raytracer.py:12-15) uses module-level constants
+``FTYPE=float64 / ITYPE=int64 / DEVICE / PDEVICE``.  On TPU, float64 is
+software-emulated and int64 doubles index memory for no benefit, so the
+native defaults here are float32 compute / int32 indices, overridable
+per-operator.  A ``TraceConfig`` dataclass replaces the reference's loose
+kwargs threading (raytracer.py:48-49, 662-665).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+__all__ = ["TraceConfig", "default_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    """Static configuration for tracing / projection.
+
+    Attributes:
+        ftype: float dtype for geometry math. float32 is TPU-native; float64
+            requires ``jax.config.update('jax_enable_x64', True)`` and is the
+            parity-testing dtype (matches reference FTYPE, raytracer.py:14).
+        itype: integer dtype for voxel region indices (reference uses int64,
+            raytracer.py:15; int32 halves HBM traffic and suffices for any
+            realistic grid).
+        mode: 'precomputed' caches (linear-index, length) tables like the
+            reference Operator (raytracer.py:675-679); 'fused' recomputes ray
+            crossings block-by-block inside jit so the O(rays*M) tensor is
+            never materialized (the north-star design).
+        block_rays: rays per block in fused mode.  Static; rays are padded to
+            a multiple of this.
+        precompute_block_rays: rays per block when building the precomputed
+            tables (bounds peak memory of the sort, like the reference's
+            pdevice trick, raytracer.py:48-49).
+        interpret: run Pallas kernels in interpreter mode (debugging).
+    """
+
+    ftype: jnp.dtype = jnp.float32
+    itype: jnp.dtype = jnp.int32
+    mode: str = "precomputed"
+    block_rays: int = 2048
+    precompute_block_rays: int = 8192
+    interpret: bool = False
+
+    def replace(self, **kw) -> "TraceConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config() -> TraceConfig:
+    return TraceConfig()

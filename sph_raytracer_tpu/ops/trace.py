@@ -1,0 +1,219 @@
+"""Crossing assembly: sort, forward-fill, segment lengths.
+
+TPU-native re-design of the reference ``trace_indices`` pipeline
+(/root/reference/sph_raytracer/raytracer.py:48-230) and its sequential
+TorchScript forward-fill kernel (raytracer.py:17-45).
+
+Pipeline, per ray (all rays vectorized, all shapes static):
+  1. r/e/a crossing kernels (:mod:`.intersect`)          → M-1 candidates
+  2. ray-start pseudo-crossing at t=0 with the start voxel triplet
+  3. crossings behind the start (t<0) invalidated to -2
+  4. multi-operand ``lax.sort`` by distance (replaces torch sort +
+     take_along_dim, raytracer.py:131-137)
+  5. per-axis forward fill of the -2 holes with ``lax.associative_scan``
+     (a log₂M "last valid value" scan replacing the reference's M-step
+     sequential loop) seeded with the start voxel
+  6. segment lengths = diff of sorted distances, +inf appended for the
+     final segment; non-finite or out-of-grid segments zeroed
+     (raytracer.py:148-173 — region ids are *kept* negative, lengths are
+     what masks them, exactly like the reference)
+
+``M = 2(N_r+1) + 2(N_e+1) + (N_a+1) + 1`` is compile-time static
+(raytracer.py:72, examples/memory_usage.py:23-24).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .intersect import (
+    INVALID,
+    cone_crossings,
+    find_starts,
+    plane_crossings,
+    sphere_crossings,
+)
+
+__all__ = ["GridSpec", "trace_crossings", "forward_fill", "pack_linear"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Fully-static grid spec for jit: boundary values as hashable float
+    tuples + shape facts.
+
+    Grids are tiny (≤ a few hundred boundaries) and fixed per operator, so
+    boundaries are compile-time constants: the spec is a hashable static
+    jit argument and XLA const-folds the boundary math (cos²e, plane
+    normals, …) into the compiled program.
+    """
+
+    r_b: Tuple[float, ...]
+    e_b: Tuple[float, ...]
+    a_b: Tuple[float, ...]
+    full_azimuth: bool
+    ftype_name: str = "float32"
+
+    @property
+    def ftype(self):
+        return jnp.dtype(self.ftype_name)
+
+    @property
+    def nr(self) -> int:
+        return len(self.r_b) - 1
+
+    @property
+    def ne(self) -> int:
+        return len(self.e_b) - 1
+
+    @property
+    def na(self) -> int:
+        return len(self.a_b) - 1
+
+    @property
+    def vshape(self) -> Tuple[int, int, int]:
+        return (self.nr, self.ne, self.na)
+
+    @property
+    def num_crossings(self) -> int:
+        return 2 * (self.nr + 1) + 2 * (self.ne + 1) + (self.na + 1) + 1
+
+    def arrays(self):
+        ft = self.ftype
+        return (
+            jnp.asarray(self.r_b, dtype=ft),
+            jnp.asarray(self.e_b, dtype=ft),
+            jnp.asarray(self.a_b, dtype=ft),
+        )
+
+    @classmethod
+    def from_grid(cls, grid, ftype=jnp.float32) -> "GridSpec":
+        return cls(
+            r_b=tuple(float(x) for x in grid.r_b),
+            e_b=tuple(float(x) for x in grid.e_b),
+            a_b=tuple(float(x) for x in grid.a_b),
+            full_azimuth=grid.full_azimuth,
+            ftype_name=jnp.dtype(ftype).name,
+        )
+
+
+def forward_fill(x, initial, fill_what: int = INVALID, axis: int = -1):
+    """Replace ``fill_what`` entries with the last valid value along ``axis``.
+
+    Log-depth replacement for the reference's sequential TorchScript scan
+    (raytracer.py:17-45): the "last valid value" operator
+    ``a ⊕ b = b if b != fill else a`` is associative, so
+    ``lax.associative_scan`` computes the fill in O(log M) vector steps.
+
+    Args:
+        x: integer array.
+        initial: seed for positions before the first valid entry; shape of
+            ``x`` without ``axis``.
+    """
+    def combine(a, b):
+        return jnp.where(b == fill_what, a, b)
+
+    filled = jax.lax.associative_scan(combine, x, axis=axis)
+    return jnp.where(filled == fill_what, jnp.expand_dims(initial, axis), filled)
+
+
+def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None):
+    """Full crossing trace for a batch of rays.
+
+    Args:
+        gs: device grid spec.
+        xs: ray start positions (*rays, 3) (broadcastable against rays).
+        rays: ray directions (*rays, 3).
+
+    Returns:
+        regs: (3, *rays, M) voxel index triplet per sorted crossing
+            (negatives kept, exactly like reference raytracer.py:230).
+        lens: (*rays, M) segment length per crossing; zero where invalid.
+        ts: (*rays, M) sorted crossing distances (debugging / adjoint reuse).
+    """
+    ftype = ftype or gs.ftype
+    xs = jnp.asarray(xs, dtype=ftype)
+    rays = jnp.asarray(rays, dtype=ftype)
+    shape = jnp.broadcast_shapes(xs.shape, rays.shape)
+    xs = jnp.broadcast_to(xs, shape)
+    rays = jnp.broadcast_to(rays, shape)
+
+    r_b, e_b, a_b = gs.arrays()
+    r_t, r_reg, _, _ = sphere_crossings(r_b, xs, rays, itype=itype, ftype=ftype)
+    e_t, e_reg, _, _ = cone_crossings(e_b, xs, rays, itype=itype, ftype=ftype)
+    a_t, a_reg, _, _ = plane_crossings(
+        a_b, xs, rays, full_azimuth=gs.full_azimuth, itype=itype, ftype=ftype
+    )
+    start_reg = find_starts(r_b, e_b, a_b, xs, itype=itype, ftype=ftype)
+
+    inv = jnp.array(INVALID, dtype=itype)
+    nr2, ne2, na1 = r_t.shape[-1], e_t.shape[-1], a_t.shape[-1]
+
+    ts = jnp.concatenate(
+        [r_t, e_t, a_t, jnp.zeros((*shape[:-1], 1), dtype=ftype)], axis=-1
+    )
+
+    def row(reg, offset, width, start_axis_reg):
+        """One axis row of the (3, …, M) region tensor: this axis's regions
+        in its own column block, -2 elsewhere, start region in the t=0 slot."""
+        parts = [
+            jnp.full((*shape[:-1], nr2), inv),
+            jnp.full((*shape[:-1], ne2), inv),
+            jnp.full((*shape[:-1], na1), inv),
+        ]
+        parts[offset] = reg.astype(itype)
+        parts.append(start_axis_reg[..., None].astype(itype))
+        return jnp.concatenate(parts, axis=-1)
+
+    reg_r = row(r_reg, 0, nr2, start_reg[0])
+    reg_e = row(e_reg, 1, ne2, start_reg[1])
+    reg_a = row(a_reg, 2, na1, start_reg[2])
+
+    # crossings behind the ray start are invalid (reference raytracer.py:125-126)
+    behind = ts < 0
+    reg_r = jnp.where(behind, inv, reg_r)
+    reg_e = jnp.where(behind, inv, reg_e)
+    reg_a = jnp.where(behind, inv, reg_a)
+
+    # sort by distance, co-sorting all three region rows in one pass
+    ts_s, reg_r, reg_e, reg_a = jax.lax.sort(
+        (ts, reg_r, reg_e, reg_a), dimension=-1, num_keys=1
+    )
+
+    # forward-fill the -2 holes, seeded with the start voxel
+    reg_r = forward_fill(reg_r, start_reg[0])
+    reg_e = forward_fill(reg_e, start_reg[1])
+    reg_a = forward_fill(reg_a, start_reg[2])
+
+    # segment lengths; the final segment extends to infinity
+    lens = jnp.diff(ts_s, axis=-1, append=jnp.full((*shape[:-1], 1), jnp.inf, ftype))
+
+    valid = (
+        jnp.isfinite(lens)
+        & (reg_r >= 0) & (reg_r <= gs.nr - 1)
+        & (reg_e >= 0) & (reg_e <= gs.ne - 1)
+        & (reg_a >= 0) & (reg_a <= gs.na - 1)
+    )
+    lens = jnp.where(valid, lens, 0.0)
+
+    regs = jnp.stack([reg_r, reg_e, reg_a], axis=0)
+    return regs, lens, ts_s
+
+
+def pack_linear(regs, gs: GridSpec, itype=jnp.int32):
+    """Pack a (3, …, M) region triplet into flat voxel indices (…, M).
+
+    Out-of-grid triplets (which always carry zero length) are clamped into
+    range so gathers stay in-bounds — the reference instead relies on torch
+    negative-index wraparound being masked by the zero lengths
+    (raytracer.py:155-173); JAX clamps OOB gathers, we make it explicit.
+    """
+    r = jnp.clip(regs[0], 0, gs.nr - 1)
+    e = jnp.clip(regs[1], 0, gs.ne - 1)
+    a = jnp.clip(regs[2], 0, gs.na - 1)
+    return ((r * gs.ne + e) * gs.na + a).astype(itype)
