@@ -1,0 +1,255 @@
+"""Ray-sharded projection: the distributed operator (SURVEY N2/N3).
+
+Rays (detector pixels × vantages, flattened) are sharded across the mesh;
+the density volume is replicated.  The forward pass is embarrassingly
+parallel — each chip traces only its ray shard (fused mode) or gathers
+from its slice of the precomputed tables.  The backward pass scatter-adds
+each chip's partial density gradient and ``psum``s it across the mesh;
+``shard_map`` autodiff inserts that psum automatically from the replicated
+in_spec.  This is the TPU-native replacement for the reference's
+single-device design (reference raytracer.py:662-713 threads a ``device=``
+string; there is no multi-device path to mirror).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import TraceConfig
+from ..operator import Operator
+from ..ops.project import precompute_table, project_fused, project_table
+from ..ops.trace import GridSpec
+from .mesh import RAY_AXIS, make_mesh
+
+__all__ = ["ShardedOperator", "shard_rays", "sharded_project"]
+
+
+def shard_rays(mesh: Mesh, xs, rays, axis: str = RAY_AXIS, block: int = 1):
+    """Flatten + pad ray arrays to a multiple of (mesh size × block) and
+    place them sharded over ``axis``.
+
+    Padding rays start far outside the grid pointing away, so they trace to
+    all-zero lengths and contribute nothing (same trick as
+    ``ops.project._pad_rays``).
+
+    Returns (xs (Rp,3), rays (Rp,3), n_real, ray_shape), device-placed.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    rays = np.asarray(rays, dtype=np.float64)
+    shape = np.broadcast_shapes(xs.shape, rays.shape)
+    xs = np.broadcast_to(xs, shape).reshape(-1, 3)
+    rays = np.broadcast_to(rays, shape).reshape(-1, 3)
+    n = xs.shape[0]
+    mult = mesh.shape[axis] * block
+    pad = (-n) % mult
+    if pad:
+        xs = np.concatenate([xs, np.tile([[1e30, 0.0, 0.0]], (pad, 1))])
+        rays = np.concatenate([rays, np.tile([[1.0, 0.0, 0.0]], (pad, 1))])
+    sharding = NamedSharding(mesh, P(axis, None))
+    return (
+        jax.device_put(xs, sharding),
+        jax.device_put(rays, sharding),
+        n,
+        shape[:-1],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "gs", "block", "itype_name", "axis"),
+)
+def sharded_project(mesh, gs: GridSpec, flat2, xs, rays, off, block,
+                    itype_name, axis=RAY_AXIS):
+    """Fused projection under shard_map: rays sharded, volume replicated.
+
+    Args:
+        flat2: (C, V) volume, channels flattened to one leading axis.
+        xs / rays: (Rp, 3) padded ray shards.
+        off: (Rp,) per-ray time offsets (dynamic grids) or zeros.
+
+    Returns (C, Rp) line integrals, sharded over rays.
+    """
+    def local(flat2, xs_s, rays_s, off_s):
+        return project_fused(
+            gs, flat2, xs_s, rays_s, view_offsets=off_s,
+            block=block, itype=jnp.dtype(itype_name),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis)),
+        out_specs=P(None, axis),
+    )(flat2, xs, rays, off)
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def _sharded_project_table(mesh, flat2, lin, lens, axis=RAY_AXIS):
+    """Precomputed-table projection under shard_map (tables ray-sharded)."""
+    def local(flat2, lin_s, lens_s):
+        return project_table(flat2, lin_s, lens_s)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis, None)),
+        out_specs=P(None, axis),
+    )(flat2, lin, lens)
+
+
+@partial(jax.jit, static_argnames=("mesh", "volume_size", "axis"))
+def _sharded_backproject(mesh, y2, lin, lens, volume_size, axis=RAY_AXIS):
+    """Adjoint under shard_map: per-shard scatter-add + psum (SURVEY N3)."""
+    def local(y2_s, lin_s, lens_s):
+        w = y2_s[..., None] * lens_s.astype(y2_s.dtype)  # (C, Rs, M)
+        idx = lin_s.reshape(-1)
+
+        def scatter(wc):
+            return jnp.zeros((volume_size,), wc.dtype).at[idx].add(wc.reshape(-1))
+
+        out = jax.vmap(scatter)(w)
+        return jax.lax.psum(out, axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None), P(axis, None)),
+        out_specs=P(),
+    )(y2, lin, lens)
+
+
+class ShardedOperator(Operator):
+    """Drop-in :class:`Operator` that shards rays across a device mesh.
+
+    Args:
+        grid / geom: as :class:`Operator`.
+        mesh: :class:`jax.sharding.Mesh` (default: all devices on one
+            ``rays`` axis).
+        config / mode / ftype / itype: as :class:`Operator`; in
+            ``precomputed`` mode the (lin, lens) tables are built sharded
+            and stay resident one shard per chip.
+
+    Usage::
+
+        mesh = make_mesh()
+        op = ShardedOperator(grid, geom, mesh=mesh)
+        image = op(density)            # rays computed where they live
+        grads = jax.grad(lambda d: ((op(d) - y)**2).sum())(density)  # psum'd
+    """
+
+    def __init__(self, grid, geom, mesh: Optional[Mesh] = None, dynamic=None,
+                 config: Optional[TraceConfig] = None, **kw):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        super().__init__(grid, geom, dynamic=dynamic, config=config,
+                         _compute=False, **kw)
+        cfg = self.config
+
+        block = min(cfg.block_rays, _pow2_at_most(
+            max(1, self._nrays // self.mesh.shape[RAY_AXIS])))
+        self._block = block
+        self._xs, self._rays, self._n, _ = shard_rays(
+            self.mesh, np.asarray(self._xs), np.asarray(self._rays),
+            block=block,
+        )
+        self._xs = self._xs.astype(cfg.ftype)
+        self._rays = self._rays.astype(cfg.ftype)
+        npad = self._xs.shape[0]
+
+        if self._view_offsets is not None:
+            off = np.zeros((npad,), dtype=np.int32)
+            off[: self._nrays] = self._view_offsets.reshape(-1) \
+                if np.ndim(self._view_offsets) else self._view_offsets
+            self._off = jax.device_put(
+                off, NamedSharding(self.mesh, P(RAY_AXIS)))
+        else:
+            self._off = jax.device_put(
+                np.zeros((npad,), dtype=np.int32),
+                NamedSharding(self.mesh, P(RAY_AXIS)),
+            )
+
+        self.lin = self.lens = None
+        if cfg.mode == "precomputed":
+            lin, lens = self._build_sharded_tables()
+            self.lin, self.lens = lin, lens
+
+    def _build_sharded_tables(self):
+        gs, cfg, mesh = self.gs, self.config, self.mesh
+
+        @partial(jax.jit, static_argnames=("block",))
+        def build(xs, rays, off, block):
+            def local(xs_s, rays_s, off_s):
+                lin, lens, _, _ = _trace_tables(
+                    gs, xs_s, rays_s, block, cfg.itype)
+                return lin + off_s[:, None].astype(cfg.itype), lens
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(RAY_AXIS, None), P(RAY_AXIS, None), P(RAY_AXIS)),
+                out_specs=(P(RAY_AXIS, None), P(RAY_AXIS, None)),
+            )(xs, rays, off)
+
+        return build(self._xs, self._rays, self._off, self._block)
+
+    def __call__(self, density):
+        density = jnp.asarray(density)
+        gshape = tuple(self.grid.shape)
+        if density.shape[-len(gshape):] != gshape:
+            raise ValueError(
+                f"density shape {density.shape} does not end with grid "
+                f"shape {gshape}"
+            )
+        chan = density.shape[: -len(gshape)]
+        flat2 = density.reshape(-1, self._flat_size)
+
+        if self.config.mode == "precomputed":
+            out = _sharded_project_table(self.mesh, flat2, self.lin, self.lens)
+        else:
+            out = sharded_project(
+                self.mesh, self.gs, flat2, self._xs, self._rays, self._off,
+                self._block, jnp.dtype(self.config.itype).name,
+            )
+        out = out[:, : self._nrays]
+        return out.reshape(*chan, *self._rshape)
+
+    def T(self, line_integrations):
+        y = jnp.asarray(line_integrations)
+        nlead = y.ndim - len(self._rshape)
+        chan = y.shape[:nlead]
+        y2 = y.reshape(-1, self._nrays)
+        pad = self._xs.shape[0] - self._nrays
+        if pad:
+            y2 = jnp.concatenate(
+                [y2, jnp.zeros((y2.shape[0], pad), y2.dtype)], axis=-1)
+        lin, lens = self.lin, self.lens
+        if lin is None:
+            lin, lens = self._build_sharded_tables()
+        out = _sharded_backproject(
+            self.mesh, y2, lin, lens, volume_size=self._flat_size)
+        return out.reshape(*chan, *self.grid.shape)
+
+
+def _pow2_at_most(n: int) -> int:
+    """Largest power of two ≤ n."""
+    return 1 << max(0, n.bit_length() - 1)
+
+
+def _trace_tables(gs, xs, rays, block, itype):
+    """Blocked (lin, lens) table build for one ray shard (local, unjitted —
+    callers jit)."""
+    from ..ops.project import _precompute_blocks
+
+    n = xs.shape[0]
+    pad = (-n) % block
+    if pad:
+        xs = jnp.concatenate(
+            [xs, jnp.broadcast_to(jnp.asarray([1e30, 0.0, 0.0], xs.dtype), (pad, 3))])
+        rays = jnp.concatenate(
+            [rays, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], rays.dtype), (pad, 3))])
+    lin, lens = _precompute_blocks(gs, xs, rays, block, jnp.dtype(itype).name)
+    return lin[:n], lens[:n], n, None

@@ -47,6 +47,17 @@ def _unit(v):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
+def _default_updir(lookdir):
+    """Default detector up-direction ``cross(lookdir, ẑ)`` (reference
+    geometry.py:479-482), with a fallback to ``x̂`` when lookdir is parallel
+    to ẑ — the reference produces NaN rays for views straight down an axis
+    pole (a latent bug we fix rather than replicate)."""
+    up = np.cross(lookdir, _Z)
+    if np.linalg.norm(up) < 1e-12 * np.linalg.norm(lookdir):
+        up = np.array((1.0, 0.0, 0.0))
+    return up
+
+
 class ViewGeom:
     """Custom sensor with arbitrary ray placement.
 
@@ -235,7 +246,7 @@ class ConeRectGeom(ViewGeom):
         pos = np.asarray(pos, dtype=np.float64)
         lookdir = -pos if lookdir is None else np.asarray(lookdir, dtype=np.float64)
         if updir is None:
-            updir = np.cross(lookdir, _Z)
+            updir = _default_updir(lookdir)
         else:
             updir = np.asarray(updir, dtype=np.float64)
         self.shape = tuple(shape)
@@ -353,7 +364,7 @@ class ParallelGeom(ViewGeom):
         pos = np.asarray(pos, dtype=np.float64)
         lookdir = -pos if lookdir is None else np.asarray(lookdir, dtype=np.float64)
         if updir is None:
-            updir = np.cross(lookdir, _Z)
+            updir = _default_updir(lookdir)
         else:
             updir = np.asarray(updir, dtype=np.float64)
         lookdir = _unit(lookdir)

@@ -1,0 +1,180 @@
+"""Operator integration tests: shape matrix, channel broadcasting, dynamic
+4D semantics (reference test_raytracer.py:54-82), plus the checks the
+reference lacks (SURVEY §4): adjoint identity ⟨Ax,y⟩=⟨x,Aᵀy⟩, autodiff
+gradient vs adjoint, fused-vs-precomputed cross-validation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_raytracer_tpu import (
+    ConeCircGeom,
+    ConeRectGeom,
+    Operator,
+    ParallelGeom,
+    SphericalGrid,
+    ViewGeomCollection,
+)
+
+F64 = jnp.float64
+
+
+@pytest.fixture(scope="module")
+def small():
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = ConeRectGeom((6, 6), pos=(2.0, 0, 0), fov=(40, 40))
+    op = Operator(grid, geom, ftype=jnp.float64)
+    return grid, geom, op
+
+
+def test_uniform_sphere_image(small):
+    grid, geom, op = small
+    img = np.asarray(op(jnp.ones(grid.shape, F64)))
+    assert img.shape == (6, 6)
+    # central pixels pass near the center: integral ≈ 2·r_max
+    assert img.max() <= 2.0 + 1e-2
+    assert img.max() >= 2.0 - 5e-2
+
+
+def test_hollow_sphere(small):
+    grid, geom, op = small
+    density = np.zeros(grid.shape)
+    density[-1] = 1.0  # outermost shell only
+    img = np.asarray(op(jnp.asarray(density)))
+    # every ray hitting the sphere crosses the outer shell twice
+    shell = (grid.r_b[-1] - grid.r_b[-2])
+    assert img.max() >= 2 * shell * 0.9
+
+
+def test_channel_broadcasting(small):
+    grid, geom, op = small
+    d = jnp.ones((3, 2, *grid.shape), F64)
+    out = op(d)
+    assert out.shape == (3, 2, 6, 6)
+    single = op(jnp.ones(grid.shape, F64))
+    assert np.allclose(np.asarray(out[1, 1]), np.asarray(single))
+
+
+def test_operator_shape_matrix():
+    grid = SphericalGrid(shape=(5, 6, 7))
+    for geom in [
+        ConeRectGeom((4, 3), pos=(2.0, 0, 0)),
+        ConeCircGeom((3, 5), pos=(0, 2.0, 0), fov=(5, 30)),
+        ParallelGeom((4, 4), pos=(0, 0, 2.0), size=(1.5, 1.5)),
+    ]:
+        op = Operator(grid, geom)
+        out = op(jnp.ones(grid.shape))
+        assert out.shape == tuple(geom.shape)
+
+    col = sum(
+        ConeRectGeom((4, 3), pos=p)
+        for p in [(2.0, 0, 0), (0, 2.0, 0), (0, 0, 2.0)]
+    )
+    op = Operator(grid, col)
+    out = op(jnp.ones(grid.shape))
+    assert out.shape == (3, 4, 3)
+
+
+def test_adjoint_dot_product(small):
+    """⟨Ax, y⟩ == ⟨x, Aᵀy⟩ — the fundamental adjoint identity."""
+    grid, geom, op = small
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=grid.shape), F64)
+    y = jnp.asarray(rng.normal(size=geom.shape), F64)
+    lhs = float(jnp.vdot(op(x), y))
+    rhs = float(jnp.vdot(x, op.T(y)))
+    assert np.isclose(lhs, rhs, rtol=1e-10)
+
+
+def test_grad_matches_adjoint(small):
+    """d/dx ⟨Ax, y⟩ = Aᵀy: autodiff through the forward equals the adjoint."""
+    grid, geom, op = small
+    rng = np.random.default_rng(4)
+    y = jnp.asarray(rng.normal(size=geom.shape), F64)
+    g = jax.grad(lambda d: jnp.vdot(op(d), y))(jnp.zeros(grid.shape, F64))
+    bp = op.T(y)
+    assert np.allclose(np.asarray(g), np.asarray(bp), atol=1e-10)
+
+
+def test_fused_matches_precomputed(small):
+    grid, geom, _ = small
+    rng = np.random.default_rng(5)
+    d = jnp.asarray(rng.uniform(size=grid.shape), F64)
+    op_a = Operator(grid, geom, mode="precomputed", ftype=jnp.float64)
+    op_b = Operator(grid, geom, mode="fused", ftype=jnp.float64)
+    ya, yb = np.asarray(op_a(d)), np.asarray(op_b(d))
+    assert np.allclose(ya, yb, atol=1e-10)
+    # gradients agree too
+    y = jnp.asarray(rng.normal(size=geom.shape), F64)
+    ga = jax.grad(lambda x: jnp.vdot(op_a(x), y))(d)
+    gb = jax.grad(lambda x: jnp.vdot(op_b(x), y))(d)
+    assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-10)
+
+
+def test_dynamic_operator():
+    """4D dynamic grid: view i sees only time bin i
+    (reference raytracer.py:705-710)."""
+    T = 4
+    grid = SphericalGrid(shape=(T, 6, 6, 6))
+    col = sum(
+        ConeRectGeom((5, 5), pos=(2 * np.cos(th), 2 * np.sin(th), 0))
+        for th in np.linspace(0, np.pi, T, endpoint=False)
+    )
+    op = Operator(grid, col, ftype=jnp.float64)
+    # density nonzero only in time bin 2
+    d = np.zeros(grid.shape)
+    d[2] = 1.0
+    out = np.asarray(op(jnp.asarray(d)))
+    assert out.shape == (T, 5, 5)
+    assert np.abs(out[[0, 1, 3]]).max() == 0.0
+    assert out[2].max() > 1.0  # chord through the unit sphere
+
+    # static uniform volume through every time bin == static operator result
+    d_all = jnp.ones(grid.shape, F64)
+    out_all = np.asarray(op(d_all))
+    static_grid = SphericalGrid(shape=(6, 6, 6))
+    out_static = np.asarray(
+        Operator(static_grid, col, ftype=jnp.float64)(jnp.ones((6, 6, 6), F64))
+    )
+    assert np.allclose(out_all, out_static, atol=1e-10)
+
+
+def test_dynamic_adjoint():
+    """The reference raises NotImplementedError for 4D adjoints
+    (raytracer.py:732-734); we support them — verify the identity."""
+    T = 3
+    grid = SphericalGrid(shape=(T, 5, 5, 5))
+    col = sum(ConeRectGeom((4, 4), pos=(2.0, 0.1 * i, 0)) for i in range(T))
+    op = Operator(grid, col, ftype=jnp.float64)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=grid.shape), F64)
+    y = jnp.asarray(rng.normal(size=(T, 4, 4)), F64)
+    lhs = float(jnp.vdot(op(x), y))
+    rhs = float(jnp.vdot(x, op.T(y)))
+    assert np.isclose(lhs, rhs, rtol=1e-10)
+
+
+def test_dynamic_shape_validation():
+    grid = SphericalGrid(shape=(4, 5, 5, 5))
+    bad = sum(ConeRectGeom((4, 4), pos=(2.0, 0.1 * i, 0)) for i in range(3))
+    with pytest.raises(ValueError):
+        Operator(grid, bad)
+
+
+def test_parallel_beam_integral():
+    """Parallel beams at known impact parameters: chord = 2√(R²−b²)."""
+    grid = SphericalGrid(shape=(16, 16, 16))
+    geom = ParallelGeom((9, 9), pos=(3.0, 0, 0), size=(1.6, 1.6))
+    op = Operator(grid, geom, ftype=jnp.float64)
+    img = np.asarray(op(jnp.ones(grid.shape, F64)))
+    b = np.linalg.norm(
+        np.asarray(geom.ray_starts)[..., 1:] - 0.0, axis=-1
+    )  # impact parameter = distance from x-axis
+    expect = 2 * np.sqrt(np.clip(1 - b**2, 0, None))
+    assert np.allclose(img, expect, atol=2e-2)
+
+
+def test_repr(small):
+    grid, geom, op = small
+    assert "8, 8, 8" in repr(op)
+    assert "6, 6" in repr(op)
