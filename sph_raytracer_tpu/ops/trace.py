@@ -154,25 +154,32 @@ def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None):
     inv = jnp.array(INVALID, dtype=itype)
     nr2, ne2, na1 = r_t.shape[-1], e_t.shape[-1], a_t.shape[-1]
 
+    # the ray-start pseudo-crossing goes FIRST: lax.sort is stable, so a
+    # real crossing at exactly t=0 (ray starting on a boundary) sorts after
+    # the seed and wins the forward fill — the region *entered* along the
+    # ray direction beats the ambiguous boundary bin of the start point
+    # (the reference's unstable torch sort resolves this tie arbitrarily,
+    # raytracer.py:109-137)
     ts = jnp.concatenate(
-        [r_t, e_t, a_t, jnp.zeros((*shape[:-1], 1), dtype=ftype)], axis=-1
+        [jnp.zeros((*shape[:-1], 1), dtype=ftype), r_t, e_t, a_t], axis=-1
     )
 
-    def row(reg, offset, width, start_axis_reg):
-        """One axis row of the (3, …, M) region tensor: this axis's regions
-        in its own column block, -2 elsewhere, start region in the t=0 slot."""
+    def row(reg, offset, start_axis_reg):
+        """One axis row of the (3, …, M) region tensor: start region in the
+        t=0 slot, this axis's regions in its own column block, -2
+        elsewhere."""
         parts = [
+            start_axis_reg[..., None].astype(itype),
             jnp.full((*shape[:-1], nr2), inv),
             jnp.full((*shape[:-1], ne2), inv),
             jnp.full((*shape[:-1], na1), inv),
         ]
-        parts[offset] = reg.astype(itype)
-        parts.append(start_axis_reg[..., None].astype(itype))
+        parts[1 + offset] = reg.astype(itype)
         return jnp.concatenate(parts, axis=-1)
 
-    reg_r = row(r_reg, 0, nr2, start_reg[0])
-    reg_e = row(e_reg, 1, ne2, start_reg[1])
-    reg_a = row(a_reg, 2, na1, start_reg[2])
+    reg_r = row(r_reg, 0, start_reg[0])
+    reg_e = row(e_reg, 1, start_reg[1])
+    reg_a = row(a_reg, 2, start_reg[2])
 
     # crossings behind the ray start are invalid (reference raytracer.py:125-126)
     behind = ts < 0

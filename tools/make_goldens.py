@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Generate reference-parity golden files.
+
+Runs the PyTorch reference (/root/reference, read-only) on a battery of
+configurations and saves inputs + outputs to tests/goldens/*.npz.  Our
+tests rebuild identical geometry in sph_raytracer_tpu and require allclose
+against these goldens (forward images AND pixel gradients — the
+BASELINE.json parity target).  Torch is only needed to *regenerate*
+goldens, never to run the tests.
+"""
+import os
+import sys
+
+sys.path.insert(0, "/root/reference")
+
+import numpy as np
+import torch as tr
+
+from sph_raytracer.geometry import (
+    ConeCircGeom,
+    ConeRectGeom,
+    ParallelGeom,
+    SphericalGrid,
+)
+from sph_raytracer.raytracer import Operator
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens")
+os.makedirs(OUT, exist_ok=True)
+rng = np.random.default_rng(42)
+
+
+def save(name, **arrays):
+    path = os.path.join(OUT, f"{name}.npz")
+    np.savez_compressed(path, **arrays)
+    print(f"{name}: " + ", ".join(f"{k}{v.shape}" for k, v in arrays.items()))
+
+
+def axis_distance(ray_starts, rays):
+    """Min distance of each ray's infinite line from the z-axis (2D)."""
+    xs = np.broadcast_to(np.asarray(ray_starts, np.float64),
+                         np.asarray(rays).shape).reshape(-1, 3)
+    d = np.asarray(rays, np.float64).reshape(-1, 3)
+    cross = xs[:, 0] * d[:, 1] - xs[:, 1] * d[:, 0]
+    norm = np.hypot(d[:, 0], d[:, 1])
+    return np.abs(cross) / np.where(norm > 0, norm, 1.0)
+
+
+def run(name, grid, geom, dynamic=False, with_grad=True):
+    # keep every ray > 1e-3 from the z-axis: rays through the axis
+    # neighborhood hit the reference's acknowledged broken edge case
+    # (raytracer.py:534 FIXME) where azimuth labels after the axis crossing
+    # are wrong; parity there is meaningless (see test_near_axis_rays).
+    dmin = axis_distance(geom.ray_starts, geom.rays).min()
+    assert dmin > 1e-3, f"{name}: ray too close to z-axis ({dmin:.2e})"
+    op = Operator(grid, geom, device="cpu")
+    shape = tuple(grid.shape)
+    density = tr.tensor(rng.random(shape), dtype=tr.float64, requires_grad=True)
+    img = op(density)
+    arrays = dict(
+        r_b=np.asarray(grid.r_b, np.float64),
+        e_b=np.asarray(grid.e_b, np.float64),
+        a_b=np.asarray(grid.a_b, np.float64),
+        density=density.detach().numpy(),
+        image=img.detach().numpy(),
+        ray_starts=np.asarray(geom.ray_starts, np.float64),
+        rays=np.asarray(geom.rays, np.float64),
+    )
+    if grid.dynamic:
+        arrays["t"] = np.asarray(grid.t, np.float64)
+    if with_grad:
+        target = tr.tensor(rng.random(tuple(img.shape)), dtype=tr.float64)
+        loss = ((img - target) ** 2).mean()
+        loss.backward()
+        arrays["grad_target"] = target.numpy()
+        arrays["grad"] = density.grad.numpy()
+        arrays["loss"] = np.float64(loss.item())
+    save(name, **arrays)
+
+
+# 1. single rectangular cone-beam vantage, hollow-ish grid
+grid = SphericalGrid(shape=(12, 14, 16), size_r=(0.3, 1.0))
+geom = ConeRectGeom((10, 12), pos=(1.8, 0.4, 0.3), fov=(40, 35))
+run("conerect", grid, geom)
+
+# 2. circular detector, log radial grid spacing
+grid = SphericalGrid(shape=(10, 9, 11), size_r=(0.1, 1.0), spacing="log")
+geom = ConeCircGeom((8, 12), pos=(0.5, 1.9, -0.4), fov=(5, 35))
+run("conecirc_log", grid, geom)
+
+# 3. parallel beam, partial azimuth grid (no periodic wrap)
+grid = SphericalGrid(
+    r_b=np.linspace(0, 1, 9),
+    e_b=np.linspace(0.3, 2.8, 8),
+    a_b=np.linspace(-2.0, 2.5, 10),
+)
+# NB: the reference's ParallelGeom crashes under torch>=2.x ("more than one
+# element of the written-to tensor...") because r_torch divides the
+# broadcast (1,1,3) rays in place (raytracer.py:281); materialize the rays
+# through a plain ViewGeom to trace the identical beam.
+from sph_raytracer.geometry import ViewGeom  # noqa: E402
+
+geom_p = ParallelGeom((9, 7), pos=(2.0, -0.3, 0.2),
+                      lookdir=(-2.0, 0.45, -0.1), size=(1.8, 1.6))
+geom = ViewGeom(
+    tr.as_tensor(np.asarray(geom_p.ray_starts, np.float64)),
+    tr.as_tensor(np.broadcast_to(np.asarray(geom_p.rays, np.float64),
+                                 (9, 7, 3)).copy()),
+)
+run("parallel_partial", grid, geom)
+
+# 4. multi-vantage collection orbit
+grid = SphericalGrid(shape=(8, 8, 8))
+geoms = sum(
+    ConeRectGeom((6, 6), pos=(2 * np.cos(t), 2 * np.sin(t), 0.5),
+                 lookdir=(0.35 - 2 * np.cos(t), 0.2 - 2 * np.sin(t), -0.5),
+                 fov=(45, 45))
+    for t in np.linspace(0, 2 * np.pi, 5, endpoint=False)
+)
+run("collection_orbit", grid, geoms)
+
+# 5. dynamic 4D volume (forward only; reference adjoint is NotImplemented)
+grid = SphericalGrid(shape=(4, 6, 6, 6))
+geoms = sum(
+    ConeRectGeom((5, 5), pos=(2 * np.cos(t), 2 * np.sin(t), 0.2),
+                 lookdir=(0.3 - 2 * np.cos(t), 0.25 - 2 * np.sin(t), -0.2),
+                 fov=(45, 45))
+    for t in np.linspace(0, np.pi, 4, endpoint=False)
+)
+run("dynamic4d", grid, geoms, with_grad=True)
+
+# 6. adjoint (backprojection) golden
+grid = SphericalGrid(shape=(7, 8, 9))
+geom = ConeRectGeom((6, 7), pos=(1.7, -0.5, 0.4),
+                    lookdir=(-1.55, 0.75, -0.35), fov=(40, 40))
+assert axis_distance(geom.ray_starts, geom.rays).min() > 1e-3
+op = Operator(grid, geom, device="cpu")
+y = tr.tensor(rng.random(tuple(geom.shape)), dtype=tr.float64)
+bp = op.T(y)
+save(
+    "adjoint",
+    r_b=np.asarray(grid.r_b), e_b=np.asarray(grid.e_b),
+    a_b=np.asarray(grid.a_b),
+    y=y.numpy(), backprojection=bp.numpy(),
+    pos=np.asarray(geom.pos), rays=np.asarray(geom.rays),
+    ray_starts=np.asarray(geom.ray_starts),
+)
+
+print("done")
