@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Tomographic measurements of a time-varying (4D) volume.
+
+TPU-native analog of reference examples/dynamic_measurements.py:17-80:
+20-time-bin dynamic grid, one view per time bin, forward projection and
+animated plots.
+"""
+import matplotlib
+
+matplotlib.use("Agg")
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+import numpy as np
+
+from sph_raytracer_tpu import ConeCircGeom, Operator, SphericalGrid
+from sph_raytracer_tpu.plotting import image_stack, preview3d
+
+# ----- Setup -----
+grid = SphericalGrid(shape=(20, 50, 50, 50))
+
+# two static shells + a moving elevation element
+x = np.zeros(tuple(grid.shape), np.float32)
+x[:, :, 25:, :25] = 1
+x[:, :, :25, 25:] = 1
+for time in range(grid.shape.t):
+    x[time, :, time * 2, :] += 1
+x = jnp.asarray(x)
+
+# one orbit vantage per time bin
+geoms = sum(
+    ConeCircGeom(shape=(100, 50),
+                 pos=(5 * np.cos(th), 5 * np.sin(th), 1),
+                 fov=(0, 45))
+    for th in np.linspace(0, 2 * np.pi, grid.shape.t)
+)
+
+op = Operator(grid, geoms)
+meas = op(x)
+
+# ----- Plotting -----
+plt.close("all")
+print("plotting...")
+fig = plt.figure(figsize=(12, 4))
+ax1 = fig.add_subplot(1, 3, 1)
+ax2 = fig.add_subplot(1, 3, 2, projection="3d")
+ax3 = fig.add_subplot(1, 3, 3, polar=True)
+
+ani1 = image_stack(preview3d(np.asarray(x), grid, azim=-45, orbit=False),
+                   ax=ax1)
+ax1.set_title("Dynamic Volume Preview")
+ax2.set_title("View Geometry")
+ani2 = op.plot(ax=ax2)
+ani3 = image_stack(np.asarray(meas), geom=geoms, ax=ax3)
+ax3.set_title("Measurements")
+
+ani3.event_source = ani2.event_source = ani1.event_source
+ani1.save("dynamic.gif", fps=15, extra_anim=[ani2, ani3])
+print("saved dynamic.gif")

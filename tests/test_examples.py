@@ -1,0 +1,31 @@
+"""Example smoke tests (reference test_examples.py:5-16 exec()s its
+example scripts the same way).  Heavy examples (50-view retrieval, 4D
+dynamic, multichip) are exercised at reduced scale by the dedicated test
+modules; here the light ones run verbatim."""
+import os
+import runpy
+
+import matplotlib
+import pytest
+
+matplotlib.use("Agg")
+
+EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
+)
+
+
+def run_example(name, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # example scripts save figures to cwd
+    runpy.run_path(os.path.join(EXAMPLES, name), run_name="__main__")
+
+
+def test_memory_usage(tmp_path, monkeypatch, capsys):
+    run_example("memory_usage.py", tmp_path, monkeypatch)
+    out = capsys.readouterr().out
+    assert "Memory Usage" in out
+
+
+def test_single_vantage(tmp_path, monkeypatch):
+    run_example("single_vantage.py", tmp_path, monkeypatch)
+    assert (tmp_path / "single_vantage.png").exists()

@@ -1,0 +1,136 @@
+"""Retrieval driver tests — coverage the reference lacks entirely
+(its test_retrieval.py is an empty placeholder, reference
+test_retrieval.py:4-6)."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+from sph_raytracer_tpu.loss import (
+    AbsLoss,
+    CheaterLoss,
+    NegRegularizer,
+    SquareLoss,
+    SquareRelLoss,
+    TVRegularizer,
+)
+from sph_raytracer_tpu.models import FullyDenseModel
+from sph_raytracer_tpu.retrieval import gd
+
+
+@pytest.fixture(scope="module")
+def problem():
+    grid = SphericalGrid(shape=(6, 6, 6))
+    geom = sum(
+        ConeRectGeom((6, 6), pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
+                     fov=(50, 50))
+        for t in np.linspace(0, 2 * np.pi, 6, endpoint=False)
+    )
+    op = Operator(grid, geom, ftype=jnp.float64)
+    truth = jnp.asarray(
+        np.random.default_rng(0).random(tuple(grid.shape)))
+    return grid, op, truth, op(truth)
+
+
+def test_gd_converges(problem):
+    grid, op, truth, y = problem
+    model = FullyDenseModel(grid)
+    coeffs, reproj, losses = gd(
+        op, y, model, num_iterations=50, lr=0.05, progress_bar=False,
+        coeffs=jnp.zeros(tuple(grid.shape)),
+    )
+    hist = losses[next(iter(losses))]
+    assert len(hist) == 50
+    assert hist[-1] < 0.05 * hist[0]
+    assert reproj.shape == y.shape
+
+
+def test_gd_contract(problem):
+    """Return contract matches the reference (retrieval.py:126-127):
+    (best_coeffs, f(model(best)), per-loss history)."""
+    grid, op, truth, y = problem
+    model = FullyDenseModel(grid)
+    lf = [SquareLoss(), 0.1 * NegRegularizer(),
+          CheaterLoss(truth, use_grad=False)]
+    coeffs, reproj, losses = gd(op, y, model, num_iterations=12,
+                                loss_fns=lf, progress_bar=False)
+    assert set(losses) == set(lf)
+    assert all(len(v) == 12 for v in losses.values())
+    assert coeffs.shape == tuple(grid.shape)
+    # oracle loss logged but not optimized
+    assert losses[lf[2]][0] > 0
+
+
+def test_gd_grid_mismatch(problem):
+    """Reference guard retrieval.py:58-59."""
+    _, op, _, y = problem
+    other = FullyDenseModel(SphericalGrid(shape=(5, 5, 5)))
+    with pytest.raises(ValueError):
+        gd(op, y, other, num_iterations=1, progress_bar=False)
+
+
+def test_gd_all_losses(problem):
+    grid, op, truth, y = problem
+    model = FullyDenseModel(grid)
+    lf = [SquareLoss(), SquareRelLoss(), AbsLoss(),
+          0.01 * NegRegularizer(), 0.1 * TVRegularizer()]
+    _, _, losses = gd(op, y, model, num_iterations=5, loss_fns=lf,
+                      progress_bar=False)
+    for k, v in losses.items():
+        assert np.isfinite(v).all(), k
+
+
+def test_gd_optax_transform(problem):
+    grid, op, truth, y = problem
+    model = FullyDenseModel(grid)
+    tx = optax.sgd(1e-2)
+    _, _, losses = gd(op, y, model, num_iterations=5, optim=tx,
+                      progress_bar=False)
+    h = losses[next(iter(losses))]
+    assert h[-1] <= h[0]
+
+
+def test_gd_proj_hook(problem):
+    """model.proj applied after each step (reference retrieval.py:119-121)."""
+    grid, op, truth, y = problem
+
+    class NonNegModel(FullyDenseModel):
+        def proj(self, coeffs):
+            return jnp.clip(coeffs, 0.0)
+
+    coeffs, _, _ = gd(op, y, NonNegModel(grid), num_iterations=10,
+                      lr=0.1, progress_bar=False)
+    assert float(coeffs.min()) >= 0.0
+
+
+def test_gd_checkpoint_resume(problem, tmp_path):
+    grid, op, truth, y = problem
+    model = FullyDenseModel(grid)
+    p = str(tmp_path / "ck.npz")
+    c1, _, h1 = gd(op, y, model, num_iterations=20, chunk=5, lr=0.05,
+                   progress_bar=False, checkpoint_path=p, checkpoint_every=10)
+    assert os.path.exists(p)
+    # resume continues from iteration 20 → runs only 10 more
+    c2, _, h2 = gd(op, y, model, num_iterations=30, chunk=5, lr=0.05,
+                   progress_bar=False, checkpoint_path=p, resume=True)
+    assert len(h2[next(iter(h2))]) == 10
+
+
+def test_loss_weighting_not_aliased():
+    """2*l and 3*l must be independent (reference loss.py:73-80 mutates)."""
+    l = SquareLoss()
+    a, b = 2 * l, 3 * l
+    assert a.lam == 2 and b.lam == 3 and l.lam == 1
+
+
+def test_masks(problem):
+    grid, op, truth, y = problem
+    pm = np.zeros(y.shape)
+    pm[0] = 1.0
+    lf = SquareLoss(projection_mask=jnp.asarray(pm))
+    v_all = float(SquareLoss()(op, y, jnp.zeros(tuple(grid.shape)), None))
+    v_masked = float(lf(op, y, jnp.zeros(tuple(grid.shape)), None))
+    assert v_masked < v_all

@@ -1,0 +1,97 @@
+"""Multi-device sharding tests on the 8-device fake CPU mesh (SURVEY §4:
+the multi-node-without-a-cluster mechanism; the reference has no
+distributed layer at all)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+from sph_raytracer_tpu.parallel import ShardedOperator, make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = sum(
+        ConeRectGeom((6, 7), pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 5, endpoint=False)
+    )
+    op = Operator(grid, geom, ftype=jnp.float64)
+    x = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)))
+    return grid, geom, op, x
+
+
+def test_mesh_has_8_devices():
+    assert make_mesh().devices.size == 8
+
+
+@pytest.mark.parametrize("mode", ["precomputed", "fused"])
+def test_sharded_matches_single_device(setup, mode):
+    grid, geom, op, x = setup
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), mode=mode,
+                          ftype=jnp.float64)
+    assert np.allclose(np.asarray(sop(x)), np.asarray(op(x)), atol=1e-10)
+
+
+def test_sharded_gradient_psum(setup):
+    """Gradient of the replicated volume is the full psum'd gradient."""
+    grid, geom, op, x = setup
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
+    y = op(x)
+    g_ref = jax.grad(lambda d: jnp.mean((op(d) - y) ** 2))(x)
+    g_sh = jax.grad(lambda d: jnp.mean((sop(d) - y) ** 2))(x)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-10)
+
+
+def test_sharded_adjoint(setup):
+    grid, geom, op, x = setup
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
+    y = jnp.asarray(
+        np.random.default_rng(1).random(tuple(geom.shape)))
+    assert np.allclose(np.asarray(sop.T(y)), np.asarray(op.T(y)), atol=1e-10)
+
+
+def test_sharded_channels(setup):
+    grid, geom, op, x = setup
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
+    xc = jnp.stack([x, 2 * x])
+    out = sop(xc)
+    assert out.shape == (2, *geom.shape)
+    assert np.allclose(np.asarray(out), np.asarray(op(xc)), atol=1e-10)
+
+
+def test_sharded_uneven_rays():
+    """Ray count not divisible by the mesh: padding handles it."""
+    grid = SphericalGrid(shape=(5, 5, 5))
+    geom = ConeRectGeom((3, 5), pos=(2.0, 0.3, 0.2), fov=(40, 40))  # 15 rays
+    op = Operator(grid, geom, ftype=jnp.float64)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
+    x = jnp.asarray(np.random.default_rng(2).random((5, 5, 5)))
+    assert np.allclose(np.asarray(sop(x)), np.asarray(op(x)), atol=1e-10)
+
+
+def test_sharded_dynamic_4d():
+    T = 4
+    grid = SphericalGrid(shape=(T, 6, 6, 6))
+    geom = sum(
+        ConeRectGeom((5, 5), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, np.pi, T, endpoint=False)
+    )
+    op = Operator(grid, geom, ftype=jnp.float64)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
+    x = jnp.asarray(np.random.default_rng(3).random(tuple(grid.shape)))
+    assert np.allclose(np.asarray(sop(x)), np.asarray(op(x)), atol=1e-10)
+
+
+def test_submesh():
+    """Operator on a 4-device submesh."""
+    grid = SphericalGrid(shape=(5, 5, 5))
+    geom = ConeRectGeom((4, 4), pos=(2.0, 0.3, 0.2), fov=(40, 40))
+    mesh = make_mesh(jax.devices()[:4])
+    sop = ShardedOperator(grid, geom, mesh=mesh, ftype=jnp.float64)
+    x = jnp.ones((5, 5, 5))
+    op = Operator(grid, geom, ftype=jnp.float64)
+    assert np.allclose(np.asarray(sop(x)), np.asarray(op(x)), atol=1e-10)
