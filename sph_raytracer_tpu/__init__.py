@@ -23,6 +23,10 @@ from .viewgeom import (
 )
 from .config import TraceConfig
 
+# submodules (imported lazily by attribute in the reference; eager here so
+# `sph_raytracer_tpu.loss` etc. work after a bare package import)
+from . import loss, models, plotting, retrieval, utils  # noqa: E402,F401
+
 __all__ = [
     "SphericalGrid",
     "Operator",
@@ -32,6 +36,11 @@ __all__ = [
     "ConeCircGeom",
     "ParallelGeom",
     "TraceConfig",
+    "loss",
+    "models",
+    "plotting",
+    "retrieval",
+    "utils",
 ]
 
 __version__ = "0.1.0"
