@@ -31,7 +31,11 @@ class TraceConfig:
         mode: 'precomputed' caches (linear-index, length) tables like the
             reference Operator (raytracer.py:675-679); 'fused' recomputes ray
             crossings block-by-block inside jit so the O(rays*M) tensor is
-            never materialized (the north-star design).
+            never materialized; 'routed' additionally compiles the tables
+            into the lane-routed Pallas engine (ops/route.py) — the fast
+            path on TPU, where XLA's element gathers are ~100x off
+            roofline; 'auto' picks 'routed' on TPU backends and
+            'precomputed' elsewhere.
         block_rays: rays per block in fused mode.  Static; rays are padded to
             a multiple of this.
         precompute_block_rays: rays per block when building the precomputed

@@ -111,8 +111,14 @@ class Operator:
         self._xs = jnp.asarray(geom.ray_starts, dtype=config.ftype)
         self._rays = jnp.asarray(geom.rays, dtype=config.ftype)
 
+        mode = config.mode
+        if mode == "auto":
+            mode = "routed" if jax.default_backend() == "tpu" else "precomputed"
+        self._mode = mode
+
         self.lin = self.lens = None
-        if _compute and config.mode == "precomputed":
+        self._routed = None
+        if _compute and mode in ("precomputed", "routed"):
             lin, lens, n, _ = precompute_table(
                 self.gs, self._xs, self._rays,
                 block=min(config.precompute_block_rays, _round_block(self._nrays)),
@@ -124,6 +130,30 @@ class Operator:
                     self._view_offsets.reshape(-1, 1), dtype=config.itype
                 )
             self.lin, self.lens = lin, lens
+            if mode == "routed":
+                self._build_routed()
+
+    # ------------------------------------------------------------------
+    def _build_routed(self):
+        """Compile the crossing tables into the lane-routed Pallas engine
+        (ops/route.py) — replaces XLA's ~100x-off-roofline element gathers
+        with hardware lane-gather passes on TPU."""
+        from .ops.route import build_routed_tables
+        from .ops.routed_project import device_tables, routed_project
+
+        rt = build_routed_tables(
+            np.asarray(self.lin), np.asarray(self.lens), self._flat_size)
+        dt, meta = device_tables(rt)
+        self._rt, self._dt, self._rmeta = rt, dt, meta
+        use_pallas = jax.default_backend() == "tpu"
+
+        @jax.jit
+        def fwd_one(flat, dt):
+            d2 = rt.pad_density(flat)
+            y = routed_project(d2, dt, meta, use_pallas)
+            return y.reshape(-1)[: meta.n_rays]
+
+        self._routed = fwd_one
 
     # ------------------------------------------------------------------
     @property
@@ -163,7 +193,16 @@ class Operator:
         chan = density.shape[: -len(gshape)]
         flat = density.reshape(*chan, self._flat_size)
 
-        if self.config.mode == "precomputed":
+        if self._routed is not None:
+            flat2 = flat.reshape(-1, self._flat_size)
+            # channel counts are small; pallas_call has no batching rule,
+            # so channels run as separate kernel launches
+            out = jnp.stack([
+                self._routed(flat2[i], self._dt)
+                for i in range(flat2.shape[0])
+            ])
+            out = out.reshape(*chan, self._nrays)
+        elif self._mode == "precomputed":
             out = _project_table_jit(flat, self.lin, self.lens)
         else:
             out = self._fused(flat)

@@ -147,6 +147,11 @@ class ShardedOperator(Operator):
         self.mesh = mesh if mesh is not None else make_mesh()
         super().__init__(grid, geom, dynamic=dynamic, config=config,
                          _compute=False, **kw)
+        # the lane-routed Pallas engine is single-device for now; sharded
+        # operators use the XLA table/fused paths
+        if self.config.mode in ("routed", "auto"):
+            self.config = self.config.replace(mode="precomputed")
+        self._mode = self.config.mode
         cfg = self.config
 
         block = min(cfg.block_rays, _pow2_at_most(
