@@ -13,8 +13,15 @@ only execution mode): 351,129 rays/s fwd+bwd (1.09M fwd-only, 14.9s
 precompute).  Reproduce with the reference's Operator on the same config.
 """
 import json
+import os
 import sys
 import time
+
+# make a host CPU backend available next to the TPU for the one-time
+# crossing trace (XLA's variadic sort is ~15x slower on TPU than CPU)
+if os.environ.get("JAX_PLATFORMS") and \
+        "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
 
 import numpy as np
 

@@ -50,6 +50,11 @@ class TraceConfig:
     block_rays: int = 2048
     precompute_block_rays: int = 8192
     interpret: bool = False
+    # device for the one-time crossing trace (the reference's ``pdevice``,
+    # raytracer.py:48-49): XLA's variadic sort is ~15x slower on TPU than
+    # CPU, so 'auto' traces on the host CPU backend when one is available
+    # alongside a TPU.  None = trace on the default backend.
+    pdevice: Optional[str] = "auto"
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

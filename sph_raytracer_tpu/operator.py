@@ -119,11 +119,7 @@ class Operator:
         self.lin = self.lens = None
         self._routed = None
         if _compute and mode in ("precomputed", "routed"):
-            lin, lens, n, _ = precompute_table(
-                self.gs, self._xs, self._rays,
-                block=min(config.precompute_block_rays, _round_block(self._nrays)),
-                itype=config.itype,
-            )
+            lin, lens, n, _ = self._traced_tables()
             lin, lens = lin[:n], lens[:n]
             if self._view_offsets is not None:
                 lin = lin + jnp.asarray(
@@ -132,6 +128,42 @@ class Operator:
             self.lin, self.lens = lin, lens
             if mode == "routed":
                 self._build_routed()
+
+    # ------------------------------------------------------------------
+    def _pdevice(self):
+        """Precompute device (reference pdevice, raytracer.py:48-49):
+        trace on the host CPU backend when available next to a TPU —
+        XLA's variadic sort is ~15x slower on TPU."""
+        pd = self.config.pdevice
+        if pd == "auto":
+            if jax.default_backend() == "cpu":
+                return None
+            try:
+                return jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                return None
+        if pd is None:
+            return None
+        return jax.local_devices(backend=pd)[0]
+
+    def _traced_tables(self):
+        import contextlib
+
+        config = self.config
+        dev = self._pdevice()
+        ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+        with ctx:
+            lin, lens, n, rs = precompute_table(
+                self.gs, np.asarray(self._xs), np.asarray(self._rays),
+                block=min(config.precompute_block_rays,
+                          _round_block(self._nrays)),
+                itype=config.itype,
+            )
+            if dev is not None:
+                # move to the compute device
+                lin = jax.device_put(np.asarray(lin))
+                lens = jax.device_put(np.asarray(lens))
+        return lin, lens, n, rs
 
     # ------------------------------------------------------------------
     def _build_routed(self):
@@ -242,11 +274,7 @@ class Operator:
         if self.lin is not None:
             return self.lin, self.lens
         # fused mode: build tables transiently for the adjoint
-        lin, lens, n, _ = precompute_table(
-            self.gs, self._xs, self._rays,
-            block=min(self.config.precompute_block_rays, _round_block(self._nrays)),
-            itype=self.config.itype,
-        )
+        lin, lens, n, _ = self._traced_tables()
         lin, lens = lin[:n], lens[:n]
         if self._view_offsets is not None:
             lin = lin + jnp.asarray(

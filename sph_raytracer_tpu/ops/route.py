@@ -1,47 +1,46 @@
 """Routing tables for the lane-routed Pallas projection engine.
 
 Why: XLA lowers the projection's element-level gather/scatter
-(``density[lin]`` — 36M+ live crossings on the flagship config) to
+(``density[lin]`` — ~17M live crossings on the flagship config) to
 near-serial code: measured ~440 ms/pass on a v5e chip, ~100× off roofline.
 The TPU's vector-gather hardware (``tpu.dynamic_gather``) reaches any
-element in ~1 lane-op, but only along fixed patterns: across the 128 lanes
-of each row (``take_along_axis(..., axis=1)``, any height) or across ≤8
-sublanes (axis=0).  This module precomputes a static routing of every
-crossing through those patterns (measured shapes: see
-tools/probe notes in ops/routed_project.py).
+element in ~1 vector op, but only along fixed patterns: across the 128
+lanes of each row (``take_along_axis(..., axis=1)``, any height) or
+across ≤8 sublanes.  This module precomputes a static routing of every
+crossing through those patterns.
 
-Layout (all static per (grid, geometry)):
+Layout (static per (grid, geometry)):
 
 * density ``D_flat (V,)`` → ``D2 (H, 128)``: voxel v ↦ row v//128, lane
   v%128.
-* rays are grouped into tiles of ``G`` rays; ray-in-tile p ↦ output
-  coordinate (hi = p//128, lane lp = p%128) of the tile's ``y (HI, 128)``
-  block.
-* crossings are grouped into **window-chunks**: chunk = (tile, superrow
-  window sg of SR density rows, repetition rep).  A chunk is an
-  ``(SR, 128)`` slot grid where the crossing sits in row ``qoff = voxel_row
-  % SR`` at a free column j.  The kernel then needs only:
-    1. ``F = take_along_axis(D2[sg·SR : sg·SR+SR], LVW, axis=1)`` — one
-       hardware lane-gather fetches every slot's exact density value
-       (``LVW[qoff, j] = voxel lane``);
-    2. per routing pass k < KD:
-       ``R_k = take_along_axis(F, SRC_k, axis=1)`` moves each value to its
-       ray's reduce lane lp (``SRC_k[qoff, lp] = source column``), weighted
-       by ``W_k`` (= segment length; 0 for dead slots) and bucketed into
-       ``y[hi]`` by the ``HI_k`` table;
-    3. column sums accumulate ``y`` per tile.
-  Two crossings sharing (row, lp) use different passes k; more than KD
-  collisions (or >128 crossings per row) spill to another rep of the same
-  window.
-* the backward pass reuses the same chunks (re-ordered by (sg, tile) so
-  the density-gradient window accumulates contiguously): g is read by
-  (HI_k, lp) — no gather at all — routed back to fetch columns with the
-  inverse tables (INVL/INVP), then within-row runs of equal voxel lane
-  (columns are lv-sorted) are segment-summed and placed at their voxel
-  lane by one more static lane-gather (PUT).
+* rays are tiled ``G`` at a time; ray-in-tile p ↦ output coordinate
+  (hi = p//128, lane lp = p%128) of the tile's ``y (HI, 128)`` block.
+* crossings live in **window-chunks**: chunk = (tile, window sg of SR
+  density rows, repetition rep), an ``(SR, 128)`` slot grid; a crossing
+  sits at row ``qoff = voxel_row % SR``, in a free column.  Columns within
+  a row are sorted by (ray, voxel-lane), so each ray's crossings of that
+  row form a *run* of adjacent columns.
 
-Everything here is vectorized numpy running once per Operator; the hot
-path consumes only the packed tables.
+The kernels then need only dense vector ops:
+
+  forward:  ``F = take_along_axis(D2[window], LVW, 1) · W``  (hardware
+  lane-gather fetches every slot's exact density value), a 7-step
+  segmented lane scan sums each ray-run in place, one more lane-gather
+  per routing pass k<KD picks each run's total at the ray's reduce lane,
+  and masked column sums accumulate ``y[tile]``.
+
+  backward: g arrives *by coordinate* (each column knows its (hi, lp)) —
+  HI lane-gathers + selects, no inverse routing; ``g·W`` is then
+  lane-permuted to voxel-lane-sorted order (PERM), segment-summed per
+  voxel run, and placed at its voxel lane (PUT) — the exact transpose,
+  with no scatter anywhere.
+
+Collisions: two different rays' runs sharing (row, reduce-lane) use
+different passes k; >KD collisions or >128 columns spill to another rep
+of the same window.  Ray-runs may split across reps freely (each split
+gets its own reduce slot; sums recombine in ``y``).
+
+Everything here is vectorized numpy running once per Operator.
 """
 from __future__ import annotations
 
@@ -61,37 +60,36 @@ SUBLANES = 8
 class RoutedTables:
     """Packed routing tables (see module docstring).
 
-    Per-chunk tables, stacked on axis 0 (NC chunks, rows = SR):
-        lvw:   (NC·SR, L) int8  — fetch: voxel lane per (row, col).
-        src:   (KD, NC·SR, L) int8 — reduce pass k: source column per
-               (row, lp); dead → any col with w 0.
-        hi:    (KD, NC·SR, L) int8 — output bucket per reduce slot.
-        w:     (KD, NC·SR, L) f32  — segment length per reduce slot.
-        invl:  (NC·SR, L) int8 — fetch col (row, j) ↦ its reduce lane lp.
-        invp:  (NC·SR, L) int8 — fetch col ↦ its reduce pass k.
-        put:   (NC·SR, L) int8 — backward: lane l ↦ column of the last
-               slot of the lv==l run (cols are lv-sorted); no run → dead
-               column (gated by putvalid).
-        putvalid: (NC·SR, L) int8 — 1 where lane l has a run in this row.
-        colvalid: (NC·SR, L) int8 — 1 where the fetch column is live.
+    Per-column tables (NC chunks × SR rows stacked on axis 0):
+        lvw:  (NC·SR, L) int8 — voxel lane per column (fetch gather).
+        w:    (NC·SR, L) f32  — segment length (0 = dead column).
+        hi8:  (NC·SR, L) int8 — ray output bucket per column.
+        lp8:  (NC·SR, L) int8 — ray reduce lane per column.
+        perm: (NC·SR, L) int8 — lane permutation to voxel-lane-sorted
+              order (backward).
+        put:  (NC·SR, L) int8 — lane l ↦ permuted column holding the end
+              of the voxel-lane-l run.
+        putv: (NC·SR, L) int8 — 1 where lane l has a run.
+    Per reduce pass k < KD:
+        src:  (KD, NC·SR, L) int8 — run-end column per (row, lp).
+        hik:  (KD, NC·SR, L) int8 — output bucket; -1 = dead slot.
     Per-chunk scalars:
-        sg:    (NC,) int32 — density window index.
-        tile:  (NC,) int32 — ray tile.
-        fwd_first: (NC,) int32 — 1 where chunk is the first of its tile
-               (fwd chunk order = by (tile, sg, rep)).
+        sg, tile: (NC,) int32.
+        fwd_first: (NC,) int32 — 1 at the first chunk of each tile (fwd
+            order = (tile, sg, rep)).
         bwd_order: (NC,) int32 — chunk permutation sorted by (sg, tile).
-        bwd_first: (NC,) int32 — 1 where bwd_order chunk is first of its sg.
+        bwd_first: (NC,) int32 — 1 at the first bwd chunk of each sg.
     """
 
     lvw: np.ndarray
-    src: np.ndarray
-    hi: np.ndarray
     w: np.ndarray
-    invl: np.ndarray
-    invp: np.ndarray
+    hi8: np.ndarray
+    lp8: np.ndarray
+    perm: np.ndarray
     put: np.ndarray
-    putvalid: np.ndarray
-    colvalid: np.ndarray
+    putv: np.ndarray
+    src: np.ndarray
+    hik: np.ndarray
     sg: np.ndarray
     tile: np.ndarray
     fwd_first: np.ndarray
@@ -107,10 +105,20 @@ class RoutedTables:
     n_rays: int
     volume_size: int
     n_live: int
+    # Hillis-Steele steps needed to cover the longest run (static): the
+    # forward scan sums ray-runs, the backward scan voxel-lane runs
+    scan_fwd: int = 7
+    scan_bwd: int = 7
 
     @property
     def d2_shape(self) -> Tuple[int, int]:
         return (self.H, LANES)
+
+    @property
+    def table_bytes(self) -> int:
+        return sum(a.nbytes for a in (
+            self.lvw, self.w, self.hi8, self.lp8, self.perm, self.put,
+            self.putv, self.src, self.hik))
 
     def pad_density(self, flat):
         import jax.numpy as jnp
@@ -137,18 +145,19 @@ def _cumcount(ids):
     return idx - np.repeat(starts, np.diff(np.r_[starts, n]))
 
 
-def build_routed_tables(lin, lens, volume_size: int, G: int = 512,
-                        SR: int = 32, KD: int = 2,
-                        max_iter: int = 64) -> RoutedTables:
+def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
+                        SR: int = 32, KD: int = 3,
+                        max_iter: int = 16) -> RoutedTables:
     """Build routing tables from packed crossing tables.
 
     Args:
         lin: (R, M) packed voxel indices.
-        lens: (R, M) segment lengths; zeros are dropped.
+        lens: (R, M) segment lengths; zeros are dropped here.
         volume_size: V (or T·V for dynamic volumes).
         G: rays per tile (multiple of 128).
         SR: density rows per window (multiple of 8).
-        KD: routing passes (collision capacity per (row, reduce-lane)).
+        KD: reduce passes (distinct-ray collision capacity per
+            (row, lane)).
     """
     assert G % LANES == 0 and SR % SUBLANES == 0
     lin = np.asarray(lin)
@@ -156,31 +165,19 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 512,
     R, M = lin.shape
     HI = G // LANES
     T = (R + G - 1) // G
-    H = _round_up(math.ceil(volume_size / LANES), SR)
+    H = _round_up(max(1, math.ceil(volume_size / LANES)), SR)
     NSG = H // SR
 
     keep = lens > 0
     ray = np.broadcast_to(np.arange(R)[:, None], (R, M))[keep].astype(np.int64)
     v = lin[keep].astype(np.int64)
     w = lens[keep]
-    n_live = v.shape[0]
+    n_live = int(v.shape[0])
     if n_live == 0:
-        z8 = np.zeros((SR, LANES), np.int8)
-        return RoutedTables(
-            lvw=z8, src=np.zeros((KD, SR, LANES), np.int8),
-            hi=np.zeros((KD, SR, LANES), np.int8),
-            w=np.zeros((KD, SR, LANES), np.float32),
-            invl=z8.copy(), invp=z8.copy(), put=z8.copy(),
-            putvalid=z8.copy(), colvalid=z8.copy(),
-            sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
-            fwd_first=np.ones(1, np.int32),
-            bwd_order=np.zeros(1, np.int32), bwd_first=np.ones(1, np.int32),
-            NC=1, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
-            n_rays=R, volume_size=volume_size, n_live=0,
-        )
+        return _empty_tables(SR, KD, G, HI, T, H, R, volume_size)
 
-    p = ray % G
     tile = ray // G
+    p = ray % G
     hi = (p // LANES).astype(np.int8)
     lp = (p % LANES).astype(np.int16)
     q = v // LANES
@@ -188,116 +185,161 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 512,
     sg = q // SR
     qoff = (q % SR).astype(np.int16)
 
-    # ---- rep assignment (iterative spill) -------------------------------
-    # row key = (tile, sg, qoff); constraints per (row key, rep):
-    #   (a) ≤ LANES crossings (columns)
-    #   (b) ≤ KD crossings per reduce lane lp
-    # Crossings that fit BOTH constraints settle permanently; the rest bump
-    # to the next rep.  Ranking counts settled crossings first so
-    # newcomers can never preempt incumbents — this makes progress strictly
-    # monotone (each (group, rep) fills to capacity and stays filled).
-    rep = np.zeros(n_live, np.int32)
-    settled = np.zeros(n_live, bool)
     rowkey = (tile * NSG + sg) * SR + qoff
-    arange = np.arange(n_live)
+
+    # ---- column + reduce-slot assignment --------------------------------
+    # Columns: within (rowkey, spill generation), sort by (ray, lv) so
+    # each ray's crossings of the row form a contiguous run; rep splits at
+    # column capacity (ray-runs may split across reps — each split gets
+    # its own reduce slot and the pieces recombine in y).
+    # Reduce slots: each run's total lands at its run-end column, at the
+    # ray's reduce lane lp, in pass k < KD.  Runs overflowing KD at their
+    # (row, rep, lp) spill to a fresh generation and are re-columned.
+    spill = np.zeros(n_live, np.int32)
+    f = dict(tile=tile, p=p, hi=hi, lp=lp, lv=lv, sg=sg, qoff=qoff, w=w,
+             rowkey=rowkey)
     for it in range(max_iter):
-        active = ~settled
-        grp = rowkey * (rep.max() + 1) + rep
-        # (a) column capacity, settled-first ranking
-        order = np.lexsort((arange, active, grp))
-        occ = np.empty(n_live, np.int64)
-        occ[order] = _cumcount(grp[order])
-        fit_a = occ < LANES
-        # (b) lane capacity
-        grp_lp = grp * LANES + lp
-        order2 = np.lexsort((arange, active, grp_lp))
-        occ2 = np.empty(n_live, np.int64)
-        occ2[order2] = _cumcount(grp_lp[order2])
-        fit_b = occ2 < KD
-        settled |= active & fit_a & fit_b
-        if settled.all():
+        order = np.lexsort((lv, p, spill, rowkey))
+        rk_s = rowkey[order]
+        sp_s = spill[order]
+        grp = rk_s * (int(sp_s.max()) + 1) + sp_s
+        occ = _cumcount(grp)
+        repdiv = occ // LANES
+        rep_s = sp_s.astype(np.int64) * (int(repdiv.max()) + 1) + repdiv
+        col_s = (occ % LANES).astype(np.int16)
+        p_s = p[order]
+        lp_s = lp[order]
+        runchange = np.r_[True, (rk_s[1:] != rk_s[:-1])
+                          | (rep_s[1:] != rep_s[:-1])
+                          | (p_s[1:] != p_s[:-1])]
+        run_id = np.cumsum(runchange) - 1
+        ends = np.flatnonzero(np.r_[runchange[1:], True])
+        key = (rk_s[ends] * (int(rep_s.max()) + 1) + rep_s[ends]) * LANES \
+            + lp_s[ends]
+        korder = np.lexsort((key,))
+        kk = np.empty(len(ends), np.int64)
+        kk[korder] = _cumcount(key[korder])
+        if (kk < KD).all():
             break
-        rep[~settled] += 1
+        # one-shot: rank runs GLOBALLY per (row, lane) — ignoring rep, so
+        # batches from different reps cannot re-merge over capacity — and
+        # send rank r to spill generation r//KD; each generation then holds
+        # ≤ KD runs per (row, lane) outright (re-columning within a
+        # generation can only split runs across reps, never merge them)
+        key2 = rk_s[ends] * LANES + lp_s[ends]
+        k2order = np.lexsort((key2,))
+        kk2 = np.empty(len(ends), np.int64)
+        kk2[k2order] = _cumcount(key2[k2order])
+        gen = kk2 // KD
+        gen_of_run = np.zeros(run_id[-1] + 1, np.int64)
+        gen_of_run[run_id[ends]] = gen
+        extra_sorted = gen_of_run[run_id]
+        extra = np.empty(n_live, np.int64)
+        extra[order] = extra_sorted
+        spill = extra.astype(np.int32)
     else:
-        raise RuntimeError("routing did not converge; raise KD or max_iter")
+        raise RuntimeError("reduce-slot routing did not converge")
 
-    # ---- final slot coordinates ----------------------------------------
-    chunkkey = (tile * NSG + sg) * (rep.max() + 1) + rep
-    # columns: lv-sorted within (chunk, row) for the backward run-scan
-    order = np.lexsort((lv, qoff, chunkkey))
-    c = {k: a[order] for k, a in dict(
-        tile=tile, sg=sg, rep=rep, qoff=qoff, lv=lv, lp=lp, hi=hi, w=w,
-        chunkkey=chunkkey,
-    ).items()}
-    rowid = c["chunkkey"] * SR + c["qoff"]
-    col = _cumcount(rowid)  # order is rowid-sorted already
-    assert col.max() < LANES
-    # reduce pass within (row, lp)
-    k = _cumcount_by(rowid * LANES + c["lp"])
-    assert k.max() < KD
+    # final slot order
+    f = {k: a[order] for k, a in f.items()}
+    rep = rep_s
+    col = col_s
+    k_of_run = np.zeros(run_id[-1] + 1, np.int8)
+    k_of_run[run_id[ends]] = kk.astype(np.int8)
 
-    # chunk enumeration in fwd order (tile, sg, rep)
-    uniq, chunk_of = np.unique(c["chunkkey"], return_inverse=True)
+    # ---- chunk enumeration ----------------------------------------------
+    tsg = f["tile"] * NSG + f["sg"]
+    chunkkey = tsg * (int(rep.max()) + 1) + rep
+    uniq, chunk_of = np.unique(chunkkey, return_inverse=True)
     NC = len(uniq)
-    # per-chunk scalars (uniq is sorted by chunkkey = tile-major fwd order)
-    first_pos = np.full(NC, n_live, np.int64)
-    np.minimum.at(first_pos, chunk_of, np.arange(n_live))
-    sg_c = c["sg"][first_pos].astype(np.int32)
-    tile_c = c["tile"][first_pos].astype(np.int32)
+    firstpos = np.full(NC, n_live, np.int64)
+    np.minimum.at(firstpos, chunk_of, np.arange(n_live))
+    sg_c = f["sg"][firstpos].astype(np.int32)
+    tile_c = f["tile"][firstpos].astype(np.int32)
     fwd_first = np.r_[1, (tile_c[1:] != tile_c[:-1]).astype(np.int32)]
 
-    # ---- fill tables ----------------------------------------------------
+    rows = chunk_of * SR + f["qoff"]
     NR = NC * SR
-    rows = chunk_of * SR + c["qoff"] if n_live else np.zeros(0, np.int64)
 
+    # ---- per-column tables ----------------------------------------------
     lvw = np.zeros((NR, LANES), np.int8)
-    invl = np.zeros((NR, LANES), np.int8)
-    invp = np.zeros((NR, LANES), np.int8)
+    wt = np.zeros((NR, LANES), np.float32)
+    hi8 = np.zeros((NR, LANES), np.int8)
+    lp8 = np.zeros((NR, LANES), np.int8)
+    lvw[rows, col] = f["lv"].astype(np.int8)
+    wt[rows, col] = f["w"]
+    hi8[rows, col] = f["hi"]
+    lp8[rows, col] = f["lp"].astype(np.int8)
+
+    # ---- reduce tables ---------------------------------------------------
+    runchange = np.r_[True, (f["rowkey"][1:] != f["rowkey"][:-1])
+                      | (rep[1:] != rep[:-1]) | (f["p"][1:] != f["p"][:-1])]
+    run_id = np.cumsum(runchange) - 1
+    run_end = np.r_[runchange[1:], True]
+    ends = np.flatnonzero(run_end)
     src = np.zeros((KD, NR, LANES), np.int8)
-    hi_t = np.zeros((KD, NR, LANES), np.int8)
-    w_t = np.zeros((KD, NR, LANES), np.float32)
+    hik = np.full((KD, NR, LANES), -1, np.int8)
+    ke = k_of_run[run_id[ends]]
+    src[ke, rows[ends], f["lp"][ends]] = col[ends].astype(np.int8)
+    hik[ke, rows[ends], f["lp"][ends]] = f["hi"][ends]
+
+    # ---- backward permutation + placement -------------------------------
+    porder = np.lexsort((col, f["lv"], rows))  # within row: by (lv, col)
+    rows_p = rows[porder]
+    ppos = _cumcount(rows_p).astype(np.int16)  # target permuted position
+    perm = np.zeros((NR, LANES), np.int8)
+    # default perm for unused positions: fill with 128-n.. any dead col;
+    # simplest: identity then overwrite
+    perm[:] = np.arange(LANES, dtype=np.int8)[None, :]
+    perm[rows_p, ppos] = col[porder].astype(np.int8)
+
+    lv_p = f["lv"][porder]
+    lastp = np.r_[(rows_p[1:] != rows_p[:-1]) | (lv_p[1:] != lv_p[:-1]), True]
     put = np.zeros((NR, LANES), np.int8)
-    putvalid = np.zeros((NR, LANES), np.int8)
-    colvalid = np.zeros((NR, LANES), np.int8)
+    putv = np.zeros((NR, LANES), np.int8)
+    put[rows_p[lastp], lv_p[lastp]] = ppos[lastp].astype(np.int8)
+    putv[rows_p[lastp], lv_p[lastp]] = 1
 
-    lvw[rows, col] = c["lv"].astype(np.int8)
-    invl[rows, col] = c["lp"].astype(np.int8)
-    invp[rows, col] = k.astype(np.int8)
-    colvalid[rows, col] = 1
-    src[k, rows, c["lp"]] = col.astype(np.int8)
-    hi_t[k, rows, c["lp"]] = c["hi"]
-    w_t[k, rows, c["lp"]] = c["w"]
+    # ---- scan-depth bounds ----------------------------------------------
+    # forward: longest ray-run; backward: longest voxel-lane run
+    run_len = np.diff(np.r_[-1, ends]) if ends.size else np.array([1])
+    ends_p = np.flatnonzero(lastp)
+    runp_len = np.diff(np.r_[-1, ends_p]) if ends_p.size else np.array([1])
+    scan_fwd = max(1, int(np.ceil(np.log2(max(1, run_len.max())))))
+    scan_bwd = max(1, int(np.ceil(np.log2(max(1, runp_len.max())))))
 
-    # run ends: last col of each (row, lv) run (cols lv-sorted)
-    runkey = rows * LANES + c["lv"]
-    last = np.r_[runkey[1:] != runkey[:-1], True]
-    put[rows[last], c["lv"][last]] = col[last].astype(np.int8)
-    putvalid[rows[last], c["lv"][last]] = 1
-
-    # ---- backward chunk order ------------------------------------------
+    # ---- backward chunk order -------------------------------------------
     bwd_order = np.lexsort((tile_c, sg_c)).astype(np.int32)
     sg_sorted = sg_c[bwd_order]
     bwd_first = np.r_[1, (sg_sorted[1:] != sg_sorted[:-1]).astype(np.int32)]
 
     return RoutedTables(
-        lvw=lvw, src=src, hi=hi_t, w=w_t, invl=invl, invp=invp,
-        put=put, putvalid=putvalid, colvalid=colvalid, sg=sg_c, tile=tile_c,
+        lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
+        src=src, hik=hik, sg=sg_c, tile=tile_c,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
-        n_rays=R, volume_size=volume_size, n_live=int(n_live),
+        n_rays=R, volume_size=volume_size, n_live=n_live,
+        scan_fwd=scan_fwd, scan_bwd=scan_bwd,
     )
 
 
-def _cumcount_by(ids, stable_order=None):
-    """Occurrence counter within groups of an (unsorted) id array."""
-    if ids.size == 0:
-        return np.zeros(0, np.int64)
-    order = np.argsort(ids, kind="stable") if stable_order is None \
-        else stable_order
-    out = np.empty(ids.shape[0], np.int64)
-    out[order] = _cumcount(ids[order])
-    return out
+def _empty_tables(SR, KD, G, HI, T, H, R, volume_size):
+    z8 = np.zeros((SR, LANES), np.int8)
+    return RoutedTables(
+        lvw=z8, w=np.zeros((SR, LANES), np.float32),
+        hi8=z8.copy(), lp8=z8.copy(),
+        perm=np.broadcast_to(np.arange(LANES, dtype=np.int8),
+                             (SR, LANES)).copy(),
+        put=z8.copy(), putv=z8.copy(),
+        src=np.zeros((KD, SR, LANES), np.int8),
+        hik=np.full((KD, SR, LANES), -1, np.int8),
+        sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
+        fwd_first=np.ones(1, np.int32),
+        bwd_order=np.zeros(1, np.int32), bwd_first=np.ones(1, np.int32),
+        NC=1, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
+        n_rays=R, volume_size=volume_size, n_live=0,
+    )
 
 
 def _round_up(x: int, m: int) -> int:

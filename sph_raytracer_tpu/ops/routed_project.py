@@ -2,22 +2,21 @@
 
 The hot path of the precomputed mode on TPU.  See ops/route.py for the
 layout derivation.  Measured motivation (v5e, flagship 50³/250k-ray
-config): XLA's gather/scatter projection runs ~440 ms per pass; the
-routing here replaces every element-level gather with hardware lane
-gathers (``take_along_axis(axis=1)``, supported at any height) plus
-static window slices, and every scatter with lane-run segment scans —
-all dense vector work.
+config): XLA's gather/scatter projection runs ~440 ms per pass; here every
+element access rides the hardware lane-gather (``take_along_axis(axis=1)``)
+plus static window slices and segmented lane scans — dense vector work
+only, no gather/scatter HLOs anywhere.
 
 Two implementations with identical semantics:
 
-* :func:`routed_project_ref` / :func:`routed_backproject_ref` — pure
-  jnp reference (vectorized over chunks), used for correctness tests on
-  CPU and as the non-TPU fallback.
-* :func:`routed_project` — ``jax.custom_vjp`` wrapper dispatching to the
-  Pallas kernels (or the reference when ``interpret`` / non-TPU).
+* :func:`routed_project_ref` / :func:`routed_backproject_ref` — pure jnp
+  reference (vectorized over chunks), used for correctness tests on CPU
+  and as the non-TPU fallback.
+* the Pallas kernels (:func:`_fwd_pallas` / :func:`_bwd_pallas`),
+  dispatched through the ``jax.custom_vjp`` wrapper :func:`routed_project`.
 
-The forward computes ``y (T·G,)`` from ``D2 (H, 128)``; the backward
-computes ``dD2`` from ``dy`` — exact transposes by construction.
+Forward: ``y (T, HI, 128)`` from ``D2 (H, 128)``.  Backward computes
+``dD2`` — the exact transpose by construction.
 """
 from __future__ import annotations
 
@@ -40,22 +39,20 @@ __all__ = [
 
 
 class DeviceTables(NamedTuple):
-    """RoutedTables moved to device (arrays only; meta carried statically)."""
-
     lvw: jax.Array      # (NC·SR, L) int8
-    src: jax.Array      # (KD, NC·SR, L) int8
-    hi: jax.Array       # (KD, NC·SR, L) int8
-    w: jax.Array        # (KD, NC·SR, L) f32
-    invl: jax.Array     # (NC·SR, L) int8
-    invp: jax.Array     # (NC·SR, L) int8
+    w: jax.Array        # (NC·SR, L) f32
+    hi8: jax.Array      # (NC·SR, L) int8
+    lp8: jax.Array      # (NC·SR, L) int8
+    perm: jax.Array     # (NC·SR, L) int8
     put: jax.Array      # (NC·SR, L) int8
-    putvalid: jax.Array  # (NC·SR, L) int8
-    colvalid: jax.Array  # (NC·SR, L) int8
+    putv: jax.Array     # (NC·SR, L) int8
+    src: jax.Array      # (KD, NC·SR, L) int8
+    hik: jax.Array      # (KD, NC·SR, L) int8
     sg: jax.Array       # (NC,) int32
     tile: jax.Array     # (NC,) int32
-    fwd_first: jax.Array  # (NC,) int32
-    bwd_order: jax.Array  # (NC,) int32
-    bwd_first: jax.Array  # (NC,) int32
+    fwd_first: jax.Array
+    bwd_order: jax.Array
+    bwd_first: jax.Array
 
 
 class RoutedMeta(NamedTuple):
@@ -68,23 +65,24 @@ class RoutedMeta(NamedTuple):
     H: int
     n_rays: int
     volume_size: int
+    scan_fwd: int = 7
+    scan_bwd: int = 7
 
 
 def device_tables(rt: RoutedTables):
     """Upload routing tables; returns (DeviceTables, RoutedMeta)."""
     dt = DeviceTables(
-        lvw=jnp.asarray(rt.lvw), src=jnp.asarray(rt.src),
-        hi=jnp.asarray(rt.hi), w=jnp.asarray(rt.w),
-        invl=jnp.asarray(rt.invl), invp=jnp.asarray(rt.invp),
-        put=jnp.asarray(rt.put), putvalid=jnp.asarray(rt.putvalid),
-        colvalid=jnp.asarray(rt.colvalid),
-        sg=jnp.asarray(rt.sg), tile=jnp.asarray(rt.tile),
-        fwd_first=jnp.asarray(rt.fwd_first),
+        lvw=jnp.asarray(rt.lvw), w=jnp.asarray(rt.w),
+        hi8=jnp.asarray(rt.hi8), lp8=jnp.asarray(rt.lp8),
+        perm=jnp.asarray(rt.perm), put=jnp.asarray(rt.put),
+        putv=jnp.asarray(rt.putv), src=jnp.asarray(rt.src),
+        hik=jnp.asarray(rt.hik), sg=jnp.asarray(rt.sg),
+        tile=jnp.asarray(rt.tile), fwd_first=jnp.asarray(rt.fwd_first),
         bwd_order=jnp.asarray(rt.bwd_order),
         bwd_first=jnp.asarray(rt.bwd_first),
     )
     meta = RoutedMeta(rt.NC, rt.SR, rt.KD, rt.G, rt.HI, rt.T, rt.H,
-                      rt.n_rays, rt.volume_size)
+                      rt.n_rays, rt.volume_size, rt.scan_fwd, rt.scan_bwd)
     return dt, meta
 
 
@@ -92,75 +90,8 @@ def device_tables(rt: RoutedTables):
 # pure-jnp reference (CPU fallback + oracle)
 # ---------------------------------------------------------------------------
 
-def _fetch_ref(d2, dt, meta):
-    """Per-chunk fetched density values F (NC, SR, L)."""
-    NC, SR = meta.NC, meta.SR
-    # windows: (NC, SR, L) — rows sg·SR .. sg·SR+SR of d2
-    row0 = dt.sg[:, None] * SR + jnp.arange(SR)[None, :]
-    win = jnp.take(d2, row0.reshape(-1), axis=0).reshape(NC, SR, LANES)
-    lvw = dt.lvw.reshape(NC, SR, LANES).astype(jnp.int32)
-    return jnp.take_along_axis(win, lvw, axis=2)
-
-
-def routed_project_ref(d2, dt: DeviceTables, meta: RoutedMeta):
-    """Forward projection from routed tables (reference impl).
-
-    Args:
-        d2: (H, 128) lane-major density.
-    Returns:
-        y: (T, HI, 128) per-tile ray sums (flatten+trim to (R,) upstream).
-    """
-    NC, SR, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
-    F = _fetch_ref(d2, dt, meta)                  # (NC, SR, L)
-    y = jnp.zeros((T, HI, LANES), d2.dtype)
-    for k in range(KD):
-        src = dt.src[k].reshape(NC, SR, LANES).astype(jnp.int32)
-        Rk = jnp.take_along_axis(F, src, axis=2)  # (NC, SR, L)
-        wk = dt.w[k].reshape(NC, SR, LANES)
-        hik = dt.hi[k].reshape(NC, SR, LANES)
-        contrib = Rk * wk                         # dead slots: w=0
-        for h in range(HI):
-            part = jnp.where(hik == h, contrib, 0.0).sum(axis=1)  # (NC, L)
-            y = y.at[dt.tile, h].add(part)
-    return y
-
-
-def routed_backproject_ref(dy, dt: DeviceTables, meta: RoutedMeta):
-    """Transpose: dD2 (H, 128) from dy (T, HI, 128) (reference impl)."""
-    NC, SR, KD, HI, H = meta.NC, meta.SR, meta.KD, meta.HI, meta.H
-    dyc = dy[dt.tile]                              # (NC, HI, L)
-    # g at reduce slots, per pass
-    gw = []
-    for k in range(KD):
-        hik = dt.hi[k].reshape(NC, SR, LANES).astype(jnp.int32)
-        # select this pass's g by output bucket
-        gsel = jnp.zeros((NC, SR, LANES), dy.dtype)
-        for h in range(HI):
-            gsel = jnp.where(hik == h, dyc[:, h, :][:, None, :], gsel)
-        gw.append(gsel * dt.w[k].reshape(NC, SR, LANES))
-    # route back to fetch columns
-    invl = dt.invl.reshape(NC, SR, LANES).astype(jnp.int32)
-    invp = dt.invp.reshape(NC, SR, LANES).astype(jnp.int32)
-    gF = jnp.zeros((NC, SR, LANES), dy.dtype)
-    for k in range(KD):
-        cand = jnp.take_along_axis(gw[k], invl, axis=2)
-        gF = jnp.where(invp == k, cand, gF)
-    gF = gF * dt.colvalid.reshape(NC, SR, LANES)
-    # segment-sum runs of equal voxel lane (columns are lv-sorted)
-    lvw = dt.lvw.reshape(NC, SR, LANES).astype(jnp.int32)
-    scan = _segscan_lanes_ref(gF, lvw)
-    put = dt.put.reshape(NC, SR, LANES).astype(jnp.int32)
-    placed = jnp.take_along_axis(scan, put, axis=2)
-    placed = placed * dt.putvalid.reshape(NC, SR, LANES)
-    # accumulate windows into dD2
-    row0 = (dt.sg[:, None] * SR + jnp.arange(SR)[None, :]).reshape(-1)
-    dD2 = jnp.zeros((H, LANES), dy.dtype)
-    dD2 = dD2.at[row0].add(placed.reshape(NC * SR, LANES))
-    return dD2
-
-
-def _segscan_lanes_ref(x, key):
-    """Inclusive segmented sum along the lane axis (runs of equal key)."""
+def _segscan_ref(x, key):
+    """Inclusive segmented sum along lanes (runs of equal key)."""
     L = x.shape[-1]
     s = 1
     while s < L:
@@ -172,6 +103,60 @@ def _segscan_lanes_ref(x, key):
     return x
 
 
+def routed_project_ref(d2, dt: DeviceTables, meta: RoutedMeta):
+    """Forward projection (reference impl): (H,128) → (T, HI, 128)."""
+    NC, SR, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
+    row0 = (dt.sg[:, None] * SR + jnp.arange(SR)[None, :]).reshape(-1)
+    win = jnp.take(d2, row0, axis=0).reshape(NC, SR, LANES)
+    lvw = dt.lvw.reshape(NC, SR, LANES).astype(jnp.int32)
+    wv = dt.w.reshape(NC, SR, LANES)
+    F = jnp.take_along_axis(win, lvw, axis=2) * wv
+
+    hi32 = dt.hi8.reshape(NC, SR, LANES).astype(jnp.int32)
+    lp32 = dt.lp8.reshape(NC, SR, LANES).astype(jnp.int32)
+    rkey = jnp.where(wv > 0, hi32 * LANES + lp32, -1)
+    scan = _segscan_ref(F, rkey)
+
+    y = jnp.zeros((T, HI, LANES), d2.dtype)
+    for k in range(KD):
+        src = dt.src[k].reshape(NC, SR, LANES).astype(jnp.int32)
+        hik = dt.hik[k].reshape(NC, SR, LANES).astype(jnp.int32)
+        Rk = jnp.take_along_axis(scan, src, axis=2)
+        for h in range(HI):
+            part = jnp.where(hik == h, Rk, 0.0).sum(axis=1)  # (NC, L)
+            y = y.at[dt.tile, h].add(part)
+    return y
+
+
+def routed_backproject_ref(dy, dt: DeviceTables, meta: RoutedMeta):
+    """Transpose: dD2 (H, 128) from dy (T, HI, 128) (reference impl)."""
+    NC, SR, KD, HI, H = meta.NC, meta.SR, meta.KD, meta.HI, meta.H
+    dyc = dy[dt.tile]  # (NC, HI, L)
+    hi32 = dt.hi8.reshape(NC, SR, LANES).astype(jnp.int32)
+    lp32 = dt.lp8.reshape(NC, SR, LANES).astype(jnp.int32)
+    # g per column = dy[hi, lp]
+    g = jnp.zeros((NC, SR, LANES), dy.dtype)
+    for h in range(HI):
+        gh = jnp.take_along_axis(
+            jnp.broadcast_to(dyc[:, h, None, :], (NC, SR, LANES)), lp32,
+            axis=2)
+        g = jnp.where(hi32 == h, gh, g)
+    gw = g * dt.w.reshape(NC, SR, LANES)
+
+    perm = dt.perm.reshape(NC, SR, LANES).astype(jnp.int32)
+    gp = jnp.take_along_axis(gw, perm, axis=2)
+    lvw = dt.lvw.reshape(NC, SR, LANES).astype(jnp.int32)
+    key2 = jnp.take_along_axis(lvw, perm, axis=2)
+    scan = _segscan_ref(gp, key2)
+    put = dt.put.reshape(NC, SR, LANES).astype(jnp.int32)
+    placed = jnp.take_along_axis(scan, put, axis=2)
+    placed = placed * dt.putv.reshape(NC, SR, LANES)
+
+    row0 = (dt.sg[:, None] * SR + jnp.arange(SR)[None, :]).reshape(-1)
+    dD2 = jnp.zeros((H, LANES), dy.dtype)
+    return dD2.at[row0].add(placed.reshape(NC * SR, LANES))
+
+
 # ---------------------------------------------------------------------------
 # Pallas TPU kernels
 # ---------------------------------------------------------------------------
@@ -181,52 +166,61 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     NC, SR, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # sg, tile, first
-        grid=(NC,),
-        in_specs=[
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # d2 resident
-        ],
-        out_specs=pl.BlockSpec((1, HI, LANES), lambda b, sg, t, f: (t[b], 0, 0)),
-    )
-    kernel = _make_fwd_body(meta)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
-        interpret=interpret,
-    )(dt.sg, dt.tile, dt.fwd_first, dt.lvw, dt.src, dt.hi, dt.w, d2)
 
-
-def _make_fwd_body(meta: RoutedMeta):
-    from jax.experimental import pallas as pl
-
-    SR, KD, HI = meta.SR, meta.KD, meta.HI
-
-    def kernel(sg_ref, tile_ref, first_ref, lvw_ref, src_ref, hi_ref,
-               w_ref, d2_ref, y_ref):
+    def kernel(sg_ref, tile_ref, first_ref, lvw_ref, w_ref, hi_ref, lp_ref,
+               src_ref, hik_ref, d2_ref, y_ref):
         b = pl.program_id(0)
 
         @pl.when(first_ref[b] == 1)
         def _init():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        sg = sg_ref[b]
-        W = d2_ref[pl.ds(sg * SR, SR), :]
-        F = jnp.take_along_axis(W, lvw_ref[:].astype(jnp.int32), axis=1)
+        sgv = sg_ref[b]
+        W = d2_ref[pl.ds(sgv * SR, SR), :]
+        wv = w_ref[:]
+        F = jnp.take_along_axis(W, lvw_ref[:].astype(jnp.int32), axis=1) * wv
+        rkey = jnp.where(
+            wv > 0,
+            hi_ref[:].astype(jnp.int32) * LANES + lp_ref[:].astype(jnp.int32),
+            -1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
+        acc = F
+        for t in range(meta.scan_fwd):
+            s = 1 << t
+            acc_s = pltpu.roll(acc, s, 1)
+            key_s = pltpu.roll(rkey, s, 1)
+            ok = (lane >= s) & (key_s == rkey)
+            acc = acc + jnp.where(ok, acc_s, 0.0)
         for k in range(KD):
-            Rk = jnp.take_along_axis(F, src_ref[k].astype(jnp.int32), axis=1)
-            contrib = Rk * w_ref[k]
-            hik = hi_ref[k]
+            Rk = jnp.take_along_axis(acc, src_ref[k].astype(jnp.int32),
+                                     axis=1)
+            hik = hik_ref[k].astype(jnp.int32)
             for h in range(HI):
                 y_ref[0, h, :] += jnp.sum(
-                    jnp.where(hik == h, contrib, 0.0), axis=0)
+                    jnp.where(hik == h, Rk, 0.0), axis=0)
 
-    return kernel
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # sg, tile, first
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
+            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
+            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # d2 resident
+        ],
+        out_specs=pl.BlockSpec((1, HI, LANES),
+                               lambda b, sg, t, f: (t[b], 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
+        interpret=interpret,
+    )(dt.sg, dt.tile, dt.fwd_first,
+      dt.lvw, dt.w, dt.hi8, dt.lp8, dt.src, dt.hik, d2)
 
 
 def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False):
@@ -235,41 +229,40 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False):
 
     NC, SR, KD, HI, H = meta.NC, meta.SR, meta.KD, meta.HI, meta.H
 
-    def kernel(order_ref, sg_ref, first_ref, tile_ref, lvw_ref, invl_ref,
-               invp_ref, put_ref, putv_ref, colv_ref, hi_ref, w_ref,
-               dy_ref, out_ref):
+    def kernel(order_ref, sg_ref, first_ref, tile_ref, lvw_ref, w_ref,
+               hi_ref, lp_ref, perm_ref, put_ref, putv_ref, dy_ref,
+               out_ref):
         b = pl.program_id(0)
 
         @pl.when(first_ref[b] == 1)
         def _init():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        invl = invl_ref[:].astype(jnp.int32)
-        invp = invp_ref[:].astype(jnp.int32)
-        gF = jnp.zeros((SR, LANES), out_ref.dtype)
-        for k in range(KD):
-            hik = hi_ref[k]
-            gsel = jnp.zeros((SR, LANES), out_ref.dtype)
-            for h in range(HI):
-                gsel = jnp.where(hik == h, dy_ref[0, h, :][None, :], gsel)
-            gwk = gsel * w_ref[k]
-            cand = jnp.take_along_axis(gwk, invl, axis=1)
-            gF = jnp.where(invp == k, cand, gF)
-        gF = gF * colv_ref[:].astype(out_ref.dtype)
+        hi32 = hi_ref[:].astype(jnp.int32)
+        lp32 = lp_ref[:].astype(jnp.int32)
+        g = jnp.zeros((SR, LANES), out_ref.dtype)
+        for h in range(HI):
+            gh = jnp.take_along_axis(
+                jnp.broadcast_to(dy_ref[0, h, :][None, :], (SR, LANES)),
+                lp32, axis=1)
+            g = jnp.where(hi32 == h, gh, g)
+        gw = g * w_ref[:]
 
-        key = lvw_ref[:].astype(jnp.int32)
+        perm = perm_ref[:].astype(jnp.int32)
+        gp = jnp.take_along_axis(gw, perm, axis=1)
+        key2 = jnp.take_along_axis(lvw_ref[:].astype(jnp.int32), perm,
+                                   axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
-        acc = gF
-        s = 1
-        while s < LANES:
+        acc = gp
+        for t in range(meta.scan_bwd):
+            s = 1 << t
             acc_s = pltpu.roll(acc, s, 1)
-            key_s = pltpu.roll(key, s, 1)
-            ok = (lane >= s) & (key_s == key)
+            key_s = pltpu.roll(key2, s, 1)
+            ok = (lane >= s) & (key_s == key2)
             acc = acc + jnp.where(ok, acc_s, 0.0)
-            s *= 2
         placed = jnp.take_along_axis(acc, put_ref[:].astype(jnp.int32),
                                      axis=1)
-        placed = placed * putv_ref[:].astype(out_ref.dtype)
+        placed = placed * putv_ref[:].astype(jnp.int32).astype(out_ref.dtype)
         out_ref[:] += placed
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -282,25 +275,20 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False):
             pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
             pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
             pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, o, sg, f, t: (0, o[b], 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, o, sg, f, t: (0, o[b], 0)),
+            pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
             pl.BlockSpec((1, HI, LANES), lambda b, o, sg, f, t: (t[b], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((meta.SR, LANES),
-                               lambda b, o, sg, f, t: (sg[b], 0)),
+        out_specs=pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (sg[b], 0)),
     )
-    # ordered scalar arrays
     sg_o = dt.sg[dt.bwd_order]
     tile_o = dt.tile[dt.bwd_order]
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
         interpret=interpret,
     )(dt.bwd_order, sg_o, dt.bwd_first, tile_o,
-      dt.lvw, dt.invl, dt.invp, dt.put, dt.putvalid, dt.colvalid,
-      dt.hi, dt.w, dy)
-    return out
+      dt.lvw, dt.w, dt.hi8, dt.lp8, dt.perm, dt.put, dt.putv, dy)
 
 
 # ---------------------------------------------------------------------------

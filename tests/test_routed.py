@@ -127,9 +127,12 @@ def test_router_stats():
     rt = build_routed_tables(lin, lens, V, G=256, SR=32, KD=2)
     # every live crossing routed exactly once: total weight preserved
     assert np.isclose(rt.w.sum(), lens[lens > 0].sum(), rtol=1e-5)
-    # reduce slots consistent with fetch slots
-    assert rt.colvalid.sum() == rt.n_live
     assert (rt.w > 0).sum() == rt.n_live
+    # every reduce slot references a run end; dead slots are sentinel -1
+    assert (rt.hik >= -1).all() and (rt.hik < rt.HI).all()
+    # slot efficiency is worth tracking (fails loudly on layout regressions)
+    eff = rt.n_live / (rt.NC * rt.SR * 128)
+    assert eff > 0.05, eff
 
 
 def test_operator_routed_mode_matches_precomputed():
