@@ -55,6 +55,11 @@ class TraceConfig:
     # CPU, so 'auto' traces on the host CPU backend when one is available
     # alongside a TPU.  None = trace on the default backend.
     pdevice: Optional[str] = "auto"
+    # lane-routed engine parameters (ops/route.py): rays per tile, window
+    # rows, reduce passes.  Measured flagship sweet spot on v5e.
+    routed_g: int = 1024
+    routed_sr: int = 32
+    routed_kd: int = 2
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

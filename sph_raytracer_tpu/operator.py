@@ -126,6 +126,15 @@ class Operator:
                     self._view_offsets.reshape(-1, 1), dtype=config.itype
                 )
             self.lin, self.lens = lin, lens
+            # keep the host mirror consistent (sliced + time offsets)
+            if getattr(self, "_lin_host", None) is not None:
+                self._lin_host = self._lin_host[:n]
+                self._lens_host = self._lens_host[:n]
+                if self._view_offsets is not None:
+                    self._lin_host = (
+                        self._lin_host
+                        + self._view_offsets.reshape(-1, 1)
+                    ).astype(self._lin_host.dtype)
             if mode == "routed":
                 self._build_routed()
 
@@ -160,9 +169,12 @@ class Operator:
                 itype=config.itype,
             )
             if dev is not None:
-                # move to the compute device
-                lin = jax.device_put(np.asarray(lin))
-                lens = jax.device_put(np.asarray(lens))
+                # stash host copies (the routed router consumes numpy; a
+                # device→host round-trip through a relay costs minutes)
+                self._lin_host = np.asarray(lin)
+                self._lens_host = np.asarray(lens)
+                lin = jax.device_put(self._lin_host)
+                lens = jax.device_put(self._lens_host)
         return lin, lens, n, rs
 
     # ------------------------------------------------------------------
@@ -173,8 +185,14 @@ class Operator:
         from .ops.route import build_routed_tables
         from .ops.routed_project import device_tables, routed_project
 
+        cfg = self.config
+        lin_h = getattr(self, "_lin_host", None)
+        lens_h = getattr(self, "_lens_host", None)
+        if lin_h is None or lin_h.shape != self.lin.shape:
+            lin_h, lens_h = np.asarray(self.lin), np.asarray(self.lens)
         rt = build_routed_tables(
-            np.asarray(self.lin), np.asarray(self.lens), self._flat_size)
+            lin_h, lens_h, self._flat_size,
+            G=cfg.routed_g, SR=cfg.routed_sr, KD=cfg.routed_kd)
         dt, meta = device_tables(rt)
         self._rt, self._dt, self._rmeta = rt, dt, meta
         use_pallas = jax.default_backend() == "tpu"

@@ -175,8 +175,10 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
         def _init():
             y_ref[:] = jnp.zeros_like(y_ref)
 
-        sgv = sg_ref[b]
-        W = d2_ref[pl.ds(sgv * SR, SR), :]
+        # the density window arrives via the d2 BlockSpec index_map
+        # (scalar-prefetched sg): an in-kernel dynamic slice over a
+        # full-VMEM d2 made Mosaic compile times explode (~430s at HI=8)
+        W = d2_ref[:]
         wv = w_ref[:]
         F = jnp.take_along_axis(W, lvw_ref[:].astype(jnp.int32), axis=1) * wv
         rkey = jnp.where(
@@ -209,7 +211,7 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
             pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
             pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
             pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # d2 resident
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (sg[b], 0)),  # d2 window
         ],
         out_specs=pl.BlockSpec((1, HI, LANES),
                                lambda b, sg, t, f: (t[b], 0, 0)),

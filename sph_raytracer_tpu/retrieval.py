@@ -113,9 +113,16 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
         )
         return tot, jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
 
-    def step(carry, _):
+    # hoist every array captured by the losses (measurements, projection
+    # tables — multi-GB for routed TPU operators) out of the closure into
+    # explicit jit arguments: baking them in as constants bloats (or, on
+    # relayed TPU backends, outright breaks) compilation
+    losses_conv, hoisted = jax.closure_convert(losses_of, coeffs)
+
+    def step(carry, _, consts):
         c, s, best_loss, best_c = carry
-        (tot, vals), g = jax.value_and_grad(losses_of, has_aux=True)(c)
+        (tot, vals), g = jax.value_and_grad(losses_conv, has_aux=True)(
+            c, *consts)
         # track best-so-far inside the scan (reference retrieval.py:111-113)
         better = tot < best_loss
         best_loss = jnp.where(better, tot, best_loss)
@@ -126,9 +133,10 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
             c = proj(c)
         return (c, s, best_loss, best_c), vals
 
-    @partial(jax.jit, static_argnums=1)
-    def run_chunk(carry, length):
-        return jax.lax.scan(step, carry, None, length=length)
+    @partial(jax.jit, static_argnums=2)
+    def run_chunk(carry, consts, length):
+        return jax.lax.scan(
+            lambda cy, x: step(cy, x, consts), carry, None, length=length)
 
     pbar = None
     if progress_bar:
@@ -146,7 +154,7 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
     try:
         while it < num_iterations:
             n = min(chunk, num_iterations - it)
-            carry, vals = run_chunk(carry, n)
+            carry, vals = run_chunk(carry, hoisted, n)
             vals = np.asarray(vals)  # (n, n_losses)
             for j, lf in enumerate(loss_fns):
                 losses[lf].extend(vals[:, j].tolist())
