@@ -28,6 +28,7 @@ if os.environ.get("JAX_PLATFORMS") and \
         "cpu" not in os.environ["JAX_PLATFORMS"]:
     os.environ["JAX_PLATFORMS"] += ",cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("SPH_TPU_TIMING", "1")
 
 import numpy as np
 

@@ -157,7 +157,10 @@ class Operator:
 
     def _traced_tables(self):
         import contextlib
+        import os
+        import time
 
+        t0 = time.time()
         config = self.config
         dev = self._pdevice()
         ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
@@ -175,6 +178,12 @@ class Operator:
                 self._lens_host = np.asarray(lens)
                 lin = jax.device_put(self._lin_host)
                 lens = jax.device_put(self._lens_host)
+        if os.environ.get("SPH_TPU_TIMING"):
+            import sys
+
+            jax.block_until_ready(lens)
+            print(f"[timing] trace {time.time() - t0:.1f}s "
+                  f"(pdevice={dev})", file=sys.stderr)
         return lin, lens, n, rs
 
     # ------------------------------------------------------------------
@@ -182,18 +191,41 @@ class Operator:
         """Compile the crossing tables into the lane-routed Pallas engine
         (ops/route.py) — replaces XLA's ~100x-off-roofline element gathers
         with hardware lane-gather passes on TPU."""
+        import os
+        import time
+
         from .ops.route import build_routed_tables
         from .ops.routed_project import device_tables, routed_project
 
+        timing = os.environ.get("SPH_TPU_TIMING")
         cfg = self.config
+        t0 = time.time()
         lin_h = getattr(self, "_lin_host", None)
         lens_h = getattr(self, "_lens_host", None)
         if lin_h is None or lin_h.shape != self.lin.shape:
             lin_h, lens_h = np.asarray(self.lin), np.asarray(self.lens)
+        if timing:
+            import sys
+
+            print(f"[timing] table fetch {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+        t0 = time.time()
         rt = build_routed_tables(
             lin_h, lens_h, self._flat_size,
             G=cfg.routed_g, SR=cfg.routed_sr, KD=cfg.routed_kd)
+        if timing:
+            import sys
+
+            print(f"[timing] router {time.time() - t0:.1f}s "
+                  f"(NC={rt.NC}, {rt.table_bytes / 1e9:.2f} GB)",
+                  file=sys.stderr)
+        t0 = time.time()
         dt, meta = device_tables(rt)
+        if timing:
+            import sys
+
+            jax.block_until_ready(dt.w)
+            print(f"[timing] upload {time.time() - t0:.1f}s", file=sys.stderr)
         self._rt, self._dt, self._rmeta = rt, dt, meta
         use_pallas = jax.default_backend() == "tpu"
 

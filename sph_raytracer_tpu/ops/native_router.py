@@ -1,0 +1,133 @@
+"""ctypes bridge to the native router core (native/router.cpp).
+
+The C++ core replaces the numpy router's sort/grouping passes (the
+dominant cost of building routed tables — ~56s for the 17M-crossing
+flagship in numpy, a few seconds native).  Table semantics are identical;
+``tests/test_routed.py::test_native_router_matches_numpy`` checks
+bit-equality.  If the shared library is missing or fails, callers fall
+back to the numpy path transparently.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["native_assign", "available", "build_native"]
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "native", "librouter.so")
+
+
+def build_native(quiet: bool = True) -> bool:
+    """Attempt to build native/librouter.so with make (no-op if present)."""
+    import subprocess
+
+    d = os.path.dirname(_lib_path())
+    if not os.path.exists(os.path.join(d, "Makefile")):
+        return False
+    r = subprocess.run(["make", "-C", d],
+                       capture_output=quiet, text=True)
+    return r.returncode == 0 and os.path.exists(_lib_path())
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.exists(path):
+        if not build_native():
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.route_assign.restype = ctypes.c_int64
+    lib.route_assign.argtypes = [
+        i64p, i64p, i32p, i32p, i32p,              # rowkey, tsg, p, lv, lp
+        ctypes.c_int64, ctypes.c_int64,            # n, NSG
+        ctypes.c_int32, ctypes.c_int32,            # SR, KD
+        i32p, u8p, u8p, u8p, u8p, u8p,             # per-crossing outputs
+        ctypes.c_int64, i32p, i32p,                # chunk_cap, sg, tile
+        i32p, i32p,                                # max_run_fwd/bwd
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def native_assign(rowkey, tsg, p, lv, lp, NSG: int, SR: int, KD: int
+                  ) -> Optional[dict]:
+    """Run the native slot assignment.  Returns None on any failure
+    (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = rowkey.shape[0]
+    if n and (int(p.max()) >= 4096 or int(rowkey.max()) >= (1 << 38)):
+        return None  # packed-key limits (G ≤ 4096)
+
+    rowkey = np.ascontiguousarray(rowkey, np.int64)
+    tsg = np.ascontiguousarray(tsg, np.int64)
+    p32 = np.ascontiguousarray(p, np.int32)
+    lv32 = np.ascontiguousarray(lv, np.int32)
+    lp32 = np.ascontiguousarray(lp, np.int32)
+
+    chunk_of = np.empty(n, np.int32)
+    col = np.empty(n, np.uint8)
+    kpass = np.empty(n, np.uint8)
+    runend = np.empty(n, np.uint8)
+    ppos = np.empty(n, np.uint8)
+    lastp = np.empty(n, np.uint8)
+    cap = max(1024, n // 32 + 4096)
+    while True:
+        chunk_sg = np.empty(cap, np.int32)
+        chunk_tile = np.empty(cap, np.int32)
+        mrf = ctypes.c_int32(0)
+        mrb = ctypes.c_int32(0)
+
+        def P(a, t):
+            return a.ctypes.data_as(t)
+
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        rc = lib.route_assign(
+            P(rowkey, i64p), P(tsg, i64p), P(p32, i32p), P(lv32, i32p),
+            P(lp32, i32p), n, NSG, SR, KD,
+            P(chunk_of, i32p), P(col, u8p), P(kpass, u8p), P(runend, u8p),
+            P(ppos, u8p), P(lastp, u8p),
+            cap, P(chunk_sg, i32p), P(chunk_tile, i32p),
+            ctypes.byref(mrf), ctypes.byref(mrb),
+        )
+        if rc == -1:
+            cap *= 4
+            continue
+        if rc < 0:
+            return None
+        NC = int(rc)
+        break
+
+    return dict(
+        chunk_of=chunk_of, col=col, kpass=kpass, runend=runend,
+        ppos=ppos, lastp=lastp,
+        chunk_sg=chunk_sg[:NC].copy(), chunk_tile=chunk_tile[:NC].copy(),
+        NC=NC, max_run_fwd=int(mrf.value), max_run_bwd=int(mrb.value),
+    )

@@ -147,7 +147,8 @@ def _cumcount(ids):
 
 def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
                         SR: int = 32, KD: int = 3,
-                        max_iter: int = 16) -> RoutedTables:
+                        max_iter: int = 16,
+                        use_native: bool = True) -> RoutedTables:
     """Build routing tables from packed crossing tables.
 
     Args:
@@ -186,6 +187,18 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     qoff = (q % SR).astype(np.int16)
 
     rowkey = (tile * NSG + sg) * SR + qoff
+
+    # ---- native fast path ------------------------------------------------
+    if use_native:
+        from .native_router import native_assign
+
+        na = native_assign(rowkey, tile * NSG + sg, p.astype(np.int32),
+                           lv.astype(np.int32), lp.astype(np.int32),
+                           NSG, SR, KD)
+        if na is not None:
+            return _fill_tables_native(
+                na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
+                volume_size, n_live)
 
     # ---- column + reduce-slot assignment --------------------------------
     # Columns: within (rowkey, spill generation), sort by (ray, lv) so
@@ -312,6 +325,62 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     bwd_order = np.lexsort((tile_c, sg_c)).astype(np.int32)
     sg_sorted = sg_c[bwd_order]
     bwd_first = np.r_[1, (sg_sorted[1:] != sg_sorted[:-1]).astype(np.int32)]
+
+    return RoutedTables(
+        lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
+        src=src, hik=hik, sg=sg_c, tile=tile_c,
+        fwd_first=fwd_first.astype(np.int32),
+        bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
+        NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
+        n_rays=R, volume_size=volume_size, n_live=n_live,
+        scan_fwd=scan_fwd, scan_bwd=scan_bwd,
+    )
+
+
+def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
+                        volume_size, n_live):
+    """Build RoutedTables from the native core's per-crossing assignment
+    (arrays in original crossing order)."""
+    NC = na["NC"]
+    NR = NC * SR
+    rows = na["chunk_of"].astype(np.int64) * SR + qoff
+    col = na["col"].astype(np.int64)
+    k = na["kpass"].astype(np.int64)
+    ends = na["runend"] == 1
+    ppos = na["ppos"].astype(np.int64)
+    lastp = na["lastp"] == 1
+
+    lvw = np.zeros((NR, LANES), np.int8)
+    wt = np.zeros((NR, LANES), np.float32)
+    hi8 = np.zeros((NR, LANES), np.int8)
+    lp8 = np.zeros((NR, LANES), np.int8)
+    lvw[rows, col] = lv.astype(np.int8)
+    wt[rows, col] = w
+    hi8[rows, col] = hi
+    lp8[rows, col] = lp.astype(np.int8)
+
+    src = np.zeros((KD, NR, LANES), np.int8)
+    hik = np.full((KD, NR, LANES), -1, np.int8)
+    src[k[ends], rows[ends], lp[ends]] = col[ends].astype(np.int8)
+    hik[k[ends], rows[ends], lp[ends]] = hi[ends]
+
+    perm = np.zeros((NR, LANES), np.int8)
+    perm[:] = np.arange(LANES, dtype=np.int8)[None, :]
+    perm[rows, ppos] = col.astype(np.int8)
+    put = np.zeros((NR, LANES), np.int8)
+    putv = np.zeros((NR, LANES), np.int8)
+    put[rows[lastp], lv[lastp]] = ppos[lastp].astype(np.int8)
+    putv[rows[lastp], lv[lastp]] = 1
+
+    sg_c = na["chunk_sg"]
+    tile_c = na["chunk_tile"]
+    fwd_first = np.r_[1, (tile_c[1:] != tile_c[:-1]).astype(np.int32)]
+    bwd_order = np.lexsort((tile_c, sg_c)).astype(np.int32)
+    sg_sorted = sg_c[bwd_order]
+    bwd_first = np.r_[1, (sg_sorted[1:] != sg_sorted[:-1]).astype(np.int32)]
+
+    scan_fwd = max(1, int(np.ceil(np.log2(max(1, na["max_run_fwd"])))))
+    scan_bwd = max(1, int(np.ceil(np.log2(max(1, na["max_run_bwd"])))))
 
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,

@@ -174,3 +174,25 @@ def test_operator_routed_dynamic():
     op_r = Operator(grid, geom, ftype=jnp.float64, mode="routed")
     x = jnp.asarray(np.random.default_rng(1).random(tuple(grid.shape)))
     assert np.allclose(np.asarray(op_r(x)), np.asarray(op_a(x)), atol=1e-4)
+
+
+def test_native_router_matches_numpy():
+    """The C++ router core (native/router.cpp) must reproduce the numpy
+    router's tables bit-for-bit."""
+    from sph_raytracer_tpu.ops import native_router
+
+    if not native_router.available():
+        pytest.skip("native router not built")
+    lin, lens, V, density, n = make_problem()
+    for G, SR, KD in [(256, 32, 2), (512, 16, 2), (2048, 32, 3)]:
+        a = build_routed_tables(lin, lens, V, G=G, SR=SR, KD=KD,
+                                use_native=False)
+        b = build_routed_tables(lin, lens, V, G=G, SR=SR, KD=KD,
+                                use_native=True)
+        assert a.NC == b.NC, (G, SR, KD)
+        for fld in ("lvw", "w", "hi8", "lp8", "perm", "put", "putv",
+                    "src", "hik", "sg", "tile", "fwd_first", "bwd_order",
+                    "bwd_first"):
+            av, bv = getattr(a, fld), getattr(b, fld)
+            assert np.array_equal(av, bv), (fld, G, SR, KD)
+        assert (a.scan_fwd, a.scan_bwd) == (b.scan_fwd, b.scan_bwd)
