@@ -57,9 +57,9 @@ class TraceConfig:
     pdevice: Optional[str] = "auto"
     # lane-routed engine parameters (ops/route.py): rays per tile, window
     # rows, reduce passes.  Measured flagship sweet spot on v5e.
-    routed_g: int = 1024
+    routed_g: int = 2048
     routed_sr: int = 32
-    routed_kd: int = 2
+    routed_kd: int = 3
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

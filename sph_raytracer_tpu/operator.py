@@ -210,9 +210,12 @@ class Operator:
             print(f"[timing] table fetch {time.time() - t0:.1f}s",
                   file=sys.stderr)
         t0 = time.time()
+        from .ops.route import pad_chunks
+
         rt = build_routed_tables(
             lin_h, lens_h, self._flat_size,
             G=cfg.routed_g, SR=cfg.routed_sr, KD=cfg.routed_kd)
+        rt = pad_chunks(rt)
         if timing:
             import sys
 
@@ -235,7 +238,23 @@ class Operator:
             y = routed_project(d2, dt, meta, use_pallas)
             return y.reshape(-1)[: meta.n_rays]
 
+        from .ops.routed_project import (
+            _bwd_pallas,
+            routed_backproject_ref,
+        )
+
+        @jax.jit
+        def adj_one(yf, dt):
+            pad = meta.T * meta.G - yf.shape[0]
+            yt = jnp.concatenate(
+                [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
+                    meta.T, meta.HI, 128)
+            d2 = (_bwd_pallas(yt, dt, meta) if use_pallas
+                  else routed_backproject_ref(yt, dt, meta))
+            return rt.unpad_density(d2)
+
         self._routed = fwd_one
+        self._routed_adj = adj_one
 
     # ------------------------------------------------------------------
     @property
@@ -316,6 +335,13 @@ class Operator:
         nlead = y.ndim - len(self._rshape)
         chan = y.shape[:nlead]
         yf = y.reshape(*chan, self._nrays)
+        if self._routed is not None:
+            yf2 = yf.reshape(-1, self._nrays)
+            out = jnp.stack([
+                self._routed_adj(yf2[i], self._dt)
+                for i in range(yf2.shape[0])
+            ])
+            return out.reshape(*chan, *self.grid.shape)
         lin, lens = self._tables()
         out = _backproject_table_jit(yf, lin, lens, volume_size=self._flat_size)
         return out.reshape(*chan, *self.grid.shape)

@@ -50,7 +50,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["RoutedTables", "build_routed_tables", "LANES", "SUBLANES"]
+__all__ = ["RoutedTables", "build_routed_tables", "pad_chunks", "LANES", "SUBLANES"]
 
 LANES = 128
 SUBLANES = 8
@@ -413,3 +413,41 @@ def _empty_tables(SR, KD, G, HI, T, H, R, volume_size):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def pad_chunks(rt: RoutedTables, multiple: int = 1024) -> RoutedTables:
+    """Pad the chunk count to a multiple so kernel compiles cache across
+    geometries of similar size.  Pad chunks carry zero weights, are never
+    'first', and point at the last tile / window — they add zeros."""
+    NC = rt.NC
+    NCp = _round_up(max(NC, 1), multiple)
+    if NCp == NC:
+        return rt
+    e = NCp - NC
+    SR = rt.SR
+
+    def padrows(a, fill=0):
+        pad = np.full((e * SR,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    def padk(a, fill):
+        pad = np.full((a.shape[0], e * SR) + a.shape[2:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=1)
+
+    perm_pad = np.broadcast_to(
+        np.arange(LANES, dtype=np.int8), (e * SR, LANES)).copy()
+    return dataclasses.replace(
+        rt,
+        lvw=padrows(rt.lvw), w=padrows(rt.w), hi8=padrows(rt.hi8),
+        lp8=padrows(rt.lp8),
+        perm=np.concatenate([rt.perm, perm_pad], axis=0),
+        put=padrows(rt.put), putv=padrows(rt.putv),
+        src=padk(rt.src, 0), hik=padk(rt.hik, -1),
+        sg=np.concatenate([rt.sg, np.full(e, rt.H // SR - 1, np.int32)]),
+        tile=np.concatenate([rt.tile, np.full(e, rt.T - 1, np.int32)]),
+        fwd_first=np.concatenate([rt.fwd_first, np.zeros(e, np.int32)]),
+        bwd_order=np.concatenate(
+            [rt.bwd_order, np.arange(NC, NCp, dtype=np.int32)]),
+        bwd_first=np.concatenate([rt.bwd_first, np.zeros(e, np.int32)]),
+        NC=NCp,
+    )

@@ -196,3 +196,31 @@ def test_native_router_matches_numpy():
             av, bv = getattr(a, fld), getattr(b, fld)
             assert np.array_equal(av, bv), (fld, G, SR, KD)
         assert (a.scan_fwd, a.scan_bwd) == (b.scan_fwd, b.scan_bwd)
+
+
+def test_operator_routed_adjoint():
+    """op.T in routed mode == precomputed-mode adjoint (and the adjoint
+    identity holds through the kernel path)."""
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = sum(
+        ConeRectGeom((6, 6), pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 3, endpoint=False)
+    )
+    from sph_raytracer_tpu import Operator
+
+    op_a = Operator(grid, geom)
+    op_r = Operator(grid, geom, mode="routed")
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.random(tuple(geom.shape)).astype(np.float32))
+    bp_a = np.asarray(op_a.T(y))
+    bp_r = np.asarray(op_r.T(y))
+    assert np.allclose(bp_r, bp_a, atol=1e-4), np.abs(bp_r - bp_a).max()
+    x = jnp.asarray(rng.random(tuple(grid.shape)).astype(np.float32))
+    lhs = float(jnp.vdot(op_r(x), y))
+    rhs = float(jnp.vdot(x, op_r.T(y)))
+    assert np.isclose(lhs, rhs, rtol=1e-4)
+    # channels
+    yc = jnp.stack([y, 2 * y])
+    assert np.allclose(np.asarray(op_r.T(yc)), np.asarray(op_a.T(yc)),
+                       atol=1e-4)
