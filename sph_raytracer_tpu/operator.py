@@ -5,11 +5,15 @@ TPU-native re-design of the reference ``Operator``
 surface — ``op(density)`` forward line integration with leading-dim
 channel broadcasting, ``op.T(y)`` adjoint backprojection, ``op.plot()``,
 4D dynamic volumes with per-view time binning — but compiled to XLA with
-static shapes and two execution modes (see :mod:`.ops.project`):
+static shapes and three execution modes:
 
 * ``mode='precomputed'``: packed int32+f32 crossing tables cached at
   construction (reference architecture, 4× less memory than the
-  reference's int64/f64 tables).
+  reference's int64/f64 tables); forward/adjoint are XLA gather/scatter
+  (see :mod:`.ops.project`).
+* ``mode='routed'`` (``'auto'`` default on TPU): the tables are compiled
+  into the lane-routed Pallas engine (:mod:`.ops.route`), ~15× the CPU
+  reference and ~12× the XLA gather path on a v5e chip.
 * ``mode='fused'``: crossings re-traced blockwise inside jit; the
   O(rays·M) tensor never exists.  Scales to detector stacks the
   precomputed mode cannot hold (README.md:40-46's 4.25 GB config runs in
@@ -255,6 +259,34 @@ class Operator:
 
         self._routed = fwd_one
         self._routed_adj = adj_one
+
+    # ------------------------------------------------------------------
+    @property
+    def payload(self):
+        """The operator's device-array state as a pytree, for threading
+        through jit boundaries as *arguments*.  Baking multi-GB projection
+        tables into a trace as constants bloats — or, on relayed TPU
+        backends, outright breaks — compilation; callers that jit around
+        this operator (e.g. :func:`~sph_raytracer_tpu.retrieval.gd`)
+        should pass ``payload`` in and rebind with :meth:`with_payload`."""
+        if self._routed is not None:
+            return {"dt": self._dt}
+        if self.lin is not None:
+            return {"lin": self.lin, "lens": self.lens}
+        return {}
+
+    def with_payload(self, payload):
+        """Lightweight copy of this operator using ``payload``'s arrays
+        (see :attr:`payload`)."""
+        import copy
+
+        new = copy.copy(self)
+        if "dt" in payload:
+            new._dt = payload["dt"]
+        if "lin" in payload:
+            new.lin = payload["lin"]
+            new.lens = payload["lens"]
+        return new
 
     # ------------------------------------------------------------------
     @property

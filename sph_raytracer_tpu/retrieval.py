@@ -104,25 +104,27 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
     grad_mask = [lf.use_grad and lf.kind != "oracle" for lf in loss_fns]
     proj = getattr(model, "proj", None)
 
-    def losses_of(c):
+    # thread the operator's device-array state (projection tables — multi-GB
+    # for routed TPU operators) and the measurements through jit boundaries
+    # as *arguments*: baking them in as trace constants bloats (or, on
+    # relayed TPU backends, outright breaks) compilation
+    payload = getattr(f, "payload", None)
+
+    def losses_of(c, pl=None, ym=None):
+        fx = f.with_payload(pl) if pl is not None else f
+        ym = y if ym is None else ym
         d = model(c)
-        vals = [lf(f, y, d, c) for lf in loss_fns]
+        vals = [lf(fx, ym, d, c) for lf in loss_fns]
         tot = sum(
             (v for v, m in zip(vals, grad_mask) if m),
             start=jnp.zeros((), dtype=jnp.result_type(c)),
         )
         return tot, jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
 
-    # hoist every array captured by the losses (measurements, projection
-    # tables — multi-GB for routed TPU operators) out of the closure into
-    # explicit jit arguments: baking them in as constants bloats (or, on
-    # relayed TPU backends, outright breaks) compilation
-    losses_conv, hoisted = jax.closure_convert(losses_of, coeffs)
-
-    def step(carry, _, consts):
+    def step(carry, _, pl, ym):
         c, s, best_loss, best_c = carry
-        (tot, vals), g = jax.value_and_grad(losses_conv, has_aux=True)(
-            c, *consts)
+        (tot, vals), g = jax.value_and_grad(losses_of, has_aux=True)(
+            c, pl, ym)
         # track best-so-far inside the scan (reference retrieval.py:111-113)
         better = tot < best_loss
         best_loss = jnp.where(better, tot, best_loss)
@@ -133,10 +135,10 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
             c = proj(c)
         return (c, s, best_loss, best_c), vals
 
-    @partial(jax.jit, static_argnums=2)
-    def run_chunk(carry, consts, length):
+    @partial(jax.jit, static_argnums=3)
+    def run_chunk(carry, pl, ym, length):
         return jax.lax.scan(
-            lambda cy, x: step(cy, x, consts), carry, None, length=length)
+            lambda cy, x: step(cy, x, pl, ym), carry, None, length=length)
 
     pbar = None
     if progress_bar:
@@ -154,7 +156,7 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
     try:
         while it < num_iterations:
             n = min(chunk, num_iterations - it)
-            carry, vals = run_chunk(carry, hoisted, n)
+            carry, vals = run_chunk(carry, payload, y, n)
             vals = np.asarray(vals)  # (n, n_losses)
             for j, lf in enumerate(loss_fns):
                 losses[lf].extend(vals[:, j].tolist())
