@@ -147,11 +147,15 @@ class ShardedOperator(Operator):
         self.mesh = mesh if mesh is not None else make_mesh()
         super().__init__(grid, geom, dynamic=dynamic, config=config,
                          _compute=False, **kw)
-        # the lane-routed Pallas engine is single-device for now; sharded
-        # operators use the XLA table/fused paths
-        if self.config.mode in ("routed", "auto"):
-            self.config = self.config.replace(mode="precomputed")
-        self._mode = self.config.mode
+        mode = self.config.mode
+        if mode == "auto":
+            mode = ("routed" if jax.default_backend() == "tpu"
+                    else "precomputed")
+        self._mode = mode
+        self._sharded_routed = None
+        if mode == "routed":
+            self._build_sharded_routed()
+            return
         cfg = self.config
 
         block = min(cfg.block_rays, _pow2_at_most(
@@ -201,6 +205,38 @@ class ShardedOperator(Operator):
 
         return build(self._xs, self._rays, self._off, self._block)
 
+    def _build_sharded_routed(self):
+        """Route the crossing tables and split them across the mesh by
+        tile range (see parallel/routed_sharded.py)."""
+        from ..ops.route import build_routed_tables
+        from .routed_sharded import put_sharded_tables, shard_routed_tables
+
+        cfg = self.config
+        lin, lens, n, _ = self._traced_tables()
+        lin, lens = lin[:n], lens[:n]
+        lin_h = getattr(self, "_lin_host", None)
+        if lin_h is None or lin_h.shape[0] != n:
+            lin_h = np.asarray(lin)
+            lens_h = np.asarray(lens)
+        else:
+            lin_h = self._lin_host[:n]
+            lens_h = self._lens_host[:n]
+        if self._view_offsets is not None:
+            lin_h = (lin_h + self._view_offsets.reshape(-1, 1)).astype(
+                lin_h.dtype)
+        rt = build_routed_tables(
+            lin_h, lens_h, self._flat_size,
+            G=cfg.routed_g, SR=cfg.routed_sr, KD=cfg.routed_kd)
+        D = int(self.mesh.devices.size)
+        stacked, meta = shard_routed_tables(rt, D)
+        self._srt_tables = put_sharded_tables(stacked, self.mesh)
+        self._srt_meta = meta
+        self._srt_rt = rt
+        self._use_pallas = jax.default_backend() == "tpu"
+        self._sharded_routed = True
+        # keep host mirrors for .T / debugging
+        self.lin, self.lens = lin, lens
+
     def __call__(self, density):
         density = jnp.asarray(density)
         gshape = tuple(self.grid.shape)
@@ -212,7 +248,18 @@ class ShardedOperator(Operator):
         chan = density.shape[: -len(gshape)]
         flat2 = density.reshape(-1, self._flat_size)
 
-        if self.config.mode == "precomputed":
+        if self._sharded_routed:
+            from .routed_sharded import sharded_routed_project
+
+            rt, meta = self._srt_rt, self._srt_meta
+            outs = []
+            for i in range(flat2.shape[0]):
+                d2 = rt.pad_density(flat2[i])
+                y = sharded_routed_project(
+                    self.mesh, self._srt_tables, meta, d2, self._use_pallas)
+                outs.append(y.reshape(-1)[: self._nrays])
+            out = jnp.stack(outs)
+        elif self._mode == "precomputed":
             out = _sharded_project_table(self.mesh, flat2, self.lin, self.lens)
         else:
             out = sharded_project(
@@ -227,6 +274,22 @@ class ShardedOperator(Operator):
         nlead = y.ndim - len(self._rshape)
         chan = y.shape[:nlead]
         y2 = y.reshape(-1, self._nrays)
+        if self._sharded_routed:
+            from ..ops.route import LANES
+            from .routed_sharded import sharded_routed_backproject
+
+            rt, meta = self._srt_rt, self._srt_meta
+            D = int(self.mesh.devices.size)
+            total = D * meta.T * meta.G
+            outs = []
+            for i in range(y2.shape[0]):
+                yf = jnp.concatenate(
+                    [y2[i], jnp.zeros((total - self._nrays,), y2.dtype)]
+                ).reshape(D * meta.T, meta.HI, LANES)
+                d2 = sharded_routed_backproject(
+                    self.mesh, self._srt_tables, meta, yf, self._use_pallas)
+                outs.append(rt.unpad_density(d2))
+            return jnp.stack(outs).reshape(*chan, *self.grid.shape)
         pad = self._xs.shape[0] - self._nrays
         if pad:
             y2 = jnp.concatenate(

@@ -95,3 +95,23 @@ def test_submesh():
     x = jnp.ones((5, 5, 5))
     op = Operator(grid, geom, ftype=jnp.float64)
     assert np.allclose(np.asarray(sop(x)), np.asarray(op(x)), atol=1e-10)
+
+
+def test_sharded_routed_matches_single_device(setup):
+    """mode='routed' ShardedOperator (reference impl on CPU mesh) matches
+    the single-device operator for forward, gradient, and adjoint."""
+    grid, geom, op, x = setup
+    from sph_raytracer_tpu.parallel.sharded import ShardedOperator
+
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), mode="routed")
+    x32 = x.astype(jnp.float32)
+    op32 = Operator(grid, geom)
+    assert np.allclose(np.asarray(sop(x32)), np.asarray(op32(x32)),
+                       atol=1e-4)
+    y = op32(x32)
+    g_ref = jax.grad(lambda d: jnp.mean((op32(d) - y) ** 2))(x32)
+    g_sh = jax.grad(lambda d: jnp.mean((sop(d) - y) ** 2))(x32)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4)
+    bp_ref = np.asarray(op32.T(y))
+    bp_sh = np.asarray(sop.T(y))
+    assert np.allclose(bp_sh, bp_ref, atol=1e-4)
