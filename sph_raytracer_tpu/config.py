@@ -46,7 +46,7 @@ class TraceConfig:
 
     ftype: jnp.dtype = jnp.float32
     itype: jnp.dtype = jnp.int32
-    mode: str = "precomputed"
+    mode: str = "auto"
     block_rays: int = 2048
     precompute_block_rays: int = 8192
     interpret: bool = False

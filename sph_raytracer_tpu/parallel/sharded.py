@@ -182,7 +182,7 @@ class ShardedOperator(Operator):
             )
 
         self.lin = self.lens = None
-        if cfg.mode == "precomputed":
+        if self._mode == "precomputed":
             lin, lens = self._build_sharded_tables()
             self.lin, self.lens = lin, lens
 
