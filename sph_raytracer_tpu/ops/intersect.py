@@ -142,8 +142,13 @@ def cone_crossings(e_b, xs, rays, itype=jnp.int32, ftype=None):
     cc = xz**2 - xx * cos2
     aa = jnp.where(isclose(aa, zero), 0.0, aa)
 
+    # NB: tighter snap than the reference (factor 2 → tol ≈ resolution^1/2
+    # vs its factor-3 tol ≈ resolution^1/3 ≈ 1e-5 at f64): the fat snap
+    # merges clearly-distinct root pairs (observed: roots 0.038 apart) and
+    # can then classify the merged midpoint as shadow, silently dropping a
+    # real crossing — a reference bug we do not replicate.
     delta = bb**2 - 4 * aa * cc
-    delta = jnp.where(isclose(delta, zero), 0.0, delta)
+    delta = jnp.where(isclose(delta, zero, factor=2), 0.0, delta)
     sq = jnp.sqrt(delta)  # NaN where no real intersection
 
     t1 = (-bb + sq) / (2 * aa)
@@ -261,6 +266,31 @@ def sph2cart(rea):
     return jnp.stack(
         [r * jnp.sin(e) * jnp.cos(a), r * jnp.sin(e) * jnp.sin(a), r * jnp.cos(e)],
         axis=-1,
+    )
+
+
+def find_starts_raw(r_b, e_b, a_b, xs, itype=jnp.int32, ftype=None):
+    """Unclamped start bins for the rank-based trace: -1 below the first
+    boundary, N above the last (no OUTSIDE remap), so that per-crossing
+    ±1 deltas accumulate arithmetically.  Points exactly on the outer
+    boundary still count as the last voxel."""
+    ftype = ftype or jnp.result_type(jnp.asarray(xs).dtype, jnp.float32)
+    xs = jnp.asarray(xs, dtype=ftype)
+    r_b, e_b, a_b = (jnp.asarray(b, dtype=ftype) for b in (r_b, e_b, a_b))
+    sph = cart2sph(xs)
+
+    def bin_axis(bounds, vals):
+        n = bounds.shape[0] - 1
+        reg = jnp.searchsorted(bounds, vals, side="right").astype(itype) - 1
+        return jnp.where(vals == bounds[-1], n - 1, reg)
+
+    return jnp.stack(
+        [
+            bin_axis(r_b, sph[..., 0]),
+            bin_axis(e_b, sph[..., 1]),
+            bin_axis(a_b, sph[..., 2]),
+        ],
+        axis=0,
     )
 
 

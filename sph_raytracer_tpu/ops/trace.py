@@ -35,11 +35,13 @@ from .intersect import (
     INVALID,
     cone_crossings,
     find_starts,
+    find_starts_raw,
     plane_crossings,
     sphere_crossings,
 )
 
-__all__ = ["GridSpec", "trace_crossings", "forward_fill", "pack_linear"]
+__all__ = ["GridSpec", "trace_crossings", "trace_crossings_ranked",
+           "forward_fill", "pack_linear"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,6 +212,140 @@ def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None):
 
     regs = jnp.stack([reg_r, reg_e, reg_a], axis=0)
     return regs, lens, ts_s
+
+
+def trace_crossings_ranked(gs: GridSpec, xs, rays, itype=jnp.int32,
+                           ftype=None):
+    """Sort-free crossing trace: same (regs, lens) pairs as
+    :func:`trace_crossings`, in UNSORTED (concatenation) order.
+
+    XLA's variadic sort is ~15x slower on TPU than CPU, which made the
+    sorted pipeline precompute-bound on device.  This formulation never
+    sorts: each boundary crossing changes exactly one voxel coordinate by
+    ±1, so the voxel triplet of the segment *starting* at crossing i is
+
+        region_axis(i) = start_axis + sum_j delta_axis[j] * [(t_j, j) <=lex (t_i, i), t_j >= 0]
+
+    and the segment length is ``min over j of {t_j : (t_i,i) <lex (t_j,j)} - t_i``
+    — all-pairs comparisons (M x M per ray, M static) instead of a sort,
+    which compiles to dense batched matmuls/reductions.  Tie-breaking by
+    concatenation index reproduces the sorted pipeline's stable-sort
+    semantics exactly (including the ray-start pseudo-crossing at index 0
+    winning/losing ties the same way), and segments behind the ray start
+    keep the start voxel (the reference's interior-start quirk).
+
+    Returns:
+        regs: (3, *rays, M) voxel triplets per crossing-opened segment.
+        lens: (*rays, M) segment lengths (zero where invalid).
+        ts:   (*rays, M) crossing distances (unsorted).
+    """
+    ftype = ftype or gs.ftype
+    xs = jnp.asarray(xs, dtype=ftype)
+    rays = jnp.asarray(rays, dtype=ftype)
+    shape = jnp.broadcast_shapes(xs.shape, rays.shape)
+    xs = jnp.broadcast_to(xs, shape)
+    rays = jnp.broadcast_to(rays, shape)
+    lead = shape[:-1]
+
+    r_b, e_b, a_b = gs.arrays()
+    r_t, r_reg, r_ind, r_neg = sphere_crossings(r_b, xs, rays, itype=itype,
+                                                ftype=ftype)
+    e_t, e_reg, e_ind, e_neg = cone_crossings(e_b, xs, rays, itype=itype,
+                                              ftype=ftype)
+    a_t, a_reg, a_ind, a_neg = plane_crossings(
+        a_b, xs, rays, full_azimuth=gs.full_azimuth, itype=itype,
+        ftype=ftype)
+    start = find_starts_raw(r_b, e_b, a_b, xs, itype=itype, ftype=ftype)
+
+    one = jnp.ones((), itype)
+
+    # per-crossing coordinate deltas (0 where the crossing is a no-op)
+    dr = one - 2 * r_neg
+    # sphere double roots are tangencies (radius grazes the boundary):
+    # net bin change is zero, but both roots get the same sign — zero both
+    Br = gs.nr + 1
+    r_dup = jnp.isfinite(r_t[..., :Br]) & (r_t[..., :Br] == r_t[..., Br:])
+    dr = jnp.where(jnp.concatenate([r_dup, r_dup], axis=-1), 0, dr)
+
+    # Cone deltas need care around the degenerate cases the absolute
+    # (sorted) pipeline shrugs off:
+    #  * a root flagged glancing (prod≈0 → reference region -2) may be one
+    #    half of a TRANSVERSAL pair whose other half is real — its true
+    #    direction is the opposite of its partner's (the sign from prod is
+    #    unreliable there, which is why the reference invalidates it);
+    #  * both roots glancing = true tangency → net zero;
+    #  * exactly-equal double roots: the e=pi/2 equator plane always
+    #    degenerates to a double root but is a single transversal crossing
+    #    (count the near root only); on any other boundary an equal pair
+    #    is a snapped tangency (same sign twice) → zero both.
+    Be = gs.ne + 1
+    de_raw = one - 2 * e_neg
+    glanc = e_reg == INVALID
+    gn, gf = glanc[..., :Be], glanc[..., Be:]
+    dn, df = de_raw[..., :Be], de_raw[..., Be:]
+    dn = jnp.where(gn & ~gf, -df, dn)
+    df = jnp.where(gf & ~gn, -de_raw[..., :Be], df)
+    both_g = gn & gf
+    dn = jnp.where(both_g, 0, dn)
+    df = jnp.where(both_g, 0, df)
+    e_dup = jnp.isfinite(e_t[..., :Be]) & (e_t[..., :Be] == e_t[..., Be:])
+    is_equator = jnp.asarray(
+        np.isclose(np.cos(np.asarray(gs.e_b, np.float64)), 0.0, atol=1e-9))
+    dn = jnp.where(e_dup & ~is_equator, 0, dn)
+    df = jnp.where(e_dup, 0, df)
+    de = jnp.concatenate([dn, df], axis=-1)
+
+    da = one - 2 * a_neg
+    if gs.full_azimuth:
+        # the -pi and +pi half-planes are the same plane: count only one
+        da = jnp.where(a_ind == gs.na, 0, da)
+
+    nr2, ne2, na1 = r_t.shape[-1], e_t.shape[-1], a_t.shape[-1]
+    zero_t = jnp.zeros((*lead, 1), dtype=ftype)
+    zero_d = jnp.zeros((*lead, 1), dtype=itype)
+    # pseudo-crossing first — same tie order as the sorted pipeline
+    ts = jnp.concatenate([zero_t, r_t, e_t, a_t], axis=-1)
+    dR = jnp.concatenate([zero_d, dr, jnp.zeros_like(de), jnp.zeros_like(da)],
+                         axis=-1)
+    dE = jnp.concatenate([zero_d, jnp.zeros_like(dr), de, jnp.zeros_like(da)],
+                         axis=-1)
+    dA = jnp.concatenate([zero_d, jnp.zeros_like(dr), jnp.zeros_like(de), da],
+                         axis=-1)
+    M = ts.shape[-1]
+
+    # deltas of crossings behind the start never count
+    counted = ts >= 0
+    dR = jnp.where(counted, dR, 0)
+    dE = jnp.where(counted, dE, 0)
+    dA = jnp.where(counted, dA, 0)
+
+    idx = jnp.arange(M, dtype=itype)
+    ti = ts[..., :, None]
+    tj = ts[..., None, :]
+    le = (tj < ti) | ((tj == ti) & (idx[None, :] <= idx[:, None]))
+    # matmul-shaped accumulation: (…, M, M) @ (…, M, 3) on the MXU
+    deltas = jnp.stack([dR, dE, dA], axis=-1).astype(ftype)
+    sums = jnp.einsum("...ij,...jk->...ik", le.astype(ftype), deltas)
+    reg_r = start[0][..., None] + sums[..., 0].astype(itype)
+    reg_e = start[1][..., None] + sums[..., 1].astype(itype)
+    reg_a = start[2][..., None] + sums[..., 2].astype(itype)
+    if gs.full_azimuth:
+        reg_a = jnp.mod(reg_a, gs.na)
+
+    # segment length: distance to the lexicographically-next crossing
+    gt = ~le
+    nxt = jnp.min(jnp.where(gt, tj, jnp.inf), axis=-1)
+    lens = nxt - ts
+
+    valid = (
+        jnp.isfinite(lens)
+        & (reg_r >= 0) & (reg_r <= gs.nr - 1)
+        & (reg_e >= 0) & (reg_e <= gs.ne - 1)
+        & (reg_a >= 0) & (reg_a <= gs.na - 1)
+    )
+    lens = jnp.where(valid, lens, 0.0)
+    regs = jnp.stack([reg_r, reg_e, reg_a], axis=0)
+    return regs, lens, ts
 
 
 def pack_linear(regs, gs: GridSpec, itype=jnp.int32):

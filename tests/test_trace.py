@@ -138,3 +138,61 @@ def test_f32_chord_accuracy():
     rays = jnp.asarray([[1.0, 0, 0]], jnp.float32)
     _, lens, _ = trace_crossings(gs, xs, rays)
     assert np.isclose(float(lens.sum()), 2.0, atol=1e-2)
+
+
+def test_ranked_trace_matches_sorted():
+    """The sort-free ranked trace produces the same (voxel, length) pairs
+    as the sorted pipeline (order-independent comparison via voxel-level
+    accumulation), across grids including partial + log + full-azimuth."""
+    from sph_raytracer_tpu.ops.trace import trace_crossings_ranked
+
+    rng = np.random.default_rng(11)
+    grids = [
+        SphericalGrid(shape=(8, 8, 8)),
+        SphericalGrid(shape=(6, 7, 8), size_r=(0.1, 2.0), spacing="log"),
+        SphericalGrid(
+            r_b=np.linspace(0, 1, 7),
+            e_b=np.linspace(0.3, 2.8, 7),
+            a_b=np.linspace(-2.0, 2.5, 9),
+        ),
+        SphericalGrid(shape=(1, 2, 1), size_r=(0, 25)),
+    ]
+    for grid in grids:
+        gs = GridSpec.from_grid(grid, ftype=jnp.float64)
+        n = 40
+        xs = rng.normal(size=(n, 3)) * 3
+        xs[np.linalg.norm(xs, axis=1) < 1.2] += 2.0
+        dirs = rng.normal(size=(n, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        xs_j = jnp.asarray(xs)
+        d_j = jnp.asarray(dirs)
+        regs_a, lens_a, _ = trace_crossings(gs, xs_j, d_j)
+        regs_b, lens_b, _ = trace_crossings_ranked(gs, xs_j, d_j)
+
+        def vol_of(regs, lens):
+            regs, lens = np.asarray(regs), np.asarray(lens)
+            out = np.zeros((n, *grid.vshape))
+            keep = lens > 0
+            ridx = np.broadcast_to(np.arange(n)[:, None], lens.shape)
+            np.add.at(
+                out,
+                (ridx[keep], regs[0][keep], regs[1][keep], regs[2][keep]),
+                lens[keep],
+            )
+            return out
+
+        va, vb = vol_of(regs_a, lens_a), vol_of(regs_b, lens_b)
+        assert np.allclose(va, vb, atol=1e-8), (
+            tuple(grid.shape), np.abs(va - vb).max())
+
+
+def test_ranked_trace_interior_start():
+    """Interior starts keep the reference quirk (full line integrates)."""
+    from sph_raytracer_tpu.ops.trace import trace_crossings_ranked
+
+    grid = SphericalGrid(shape=(10, 10, 10))
+    gs = GridSpec.from_grid(grid, ftype=jnp.float64)
+    _, lens, _ = trace_crossings_ranked(
+        gs, jnp.asarray([[0.0, 0.0, 0.0]], jnp.float64),
+        jnp.asarray([[0.0, 1.0, 0.0]], jnp.float64))
+    assert np.isclose(float(lens.sum()), 2.0, atol=1e-2)

@@ -84,7 +84,7 @@ run("conerect", grid, geom)
 
 # 2. circular detector, log radial grid spacing
 grid = SphericalGrid(shape=(10, 9, 11), size_r=(0.1, 1.0), spacing="log")
-geom = ConeCircGeom((8, 12), pos=(0.5, 1.9, -0.4), fov=(5, 35))
+geom = ConeCircGeom((8, 12), pos=(0.459903, 1.833782, -0.412418), fov=(5, 35))
 run("conecirc_log", grid, geom)
 
 # 3. parallel beam, partial azimuth grid (no periodic wrap)
