@@ -57,13 +57,20 @@ def _pad_rays(xs, rays, block: int):
     return xs, rays, n, shape[:-1]
 
 
-@partial(jax.jit, static_argnames=("gs", "block", "itype_name"))
-def _precompute_blocks(gs: GridSpec, xs, rays, block: int, itype_name: str = "int32"):
+@partial(jax.jit, static_argnames=("gs", "block", "itype_name", "method"))
+def _precompute_blocks(gs: GridSpec, xs, rays, block: int,
+                       itype_name: str = "int32", method: str = "sorted"):
     itype = jnp.dtype(itype_name)
 
     def blk(args):
         xs_b, rays_b = args
-        regs, lens, _ = trace_crossings(gs, xs_b, rays_b, itype=itype)
+        if method == "ranked":
+            from .trace import trace_crossings_ranked
+
+            regs, lens, _ = trace_crossings_ranked(gs, xs_b, rays_b,
+                                                   itype=itype)
+        else:
+            regs, lens, _ = trace_crossings(gs, xs_b, rays_b, itype=itype)
         return pack_linear(regs, gs, itype=itype), lens
 
     xs_p = xs.reshape(-1, block, 3)
@@ -74,16 +81,26 @@ def _precompute_blocks(gs: GridSpec, xs, rays, block: int, itype_name: str = "in
 
 
 def precompute_table(gs: GridSpec, xs, rays, block: int = 8192,
-                     itype=jnp.int32) -> Tuple[jax.Array, jax.Array, int, tuple]:
+                     itype=jnp.int32, method: str = "sorted",
+                     ) -> Tuple[jax.Array, jax.Array, int, tuple]:
     """Trace all rays once, returning packed (lin, lens) tables.
 
     Blocked so peak memory during the sort stays O(block·M) instead of the
     reference's O(rays·M) 4 GB spike (README.md:40-46).
 
+    Args:
+        method: 'sorted' (lax.sort pipeline — fast on CPU) or 'ranked'
+            (sort-free all-pairs rank pipeline — fast on TPU, where XLA's
+            variadic sort is ~15x slower than CPU; uses O(block·M²)
+            transients, so pass a smaller block, e.g. 512).
+
     Returns (lin (Rp, M) int, lens (Rp, M) float, n_real_rays, ray_shape).
     """
+    if method == "ranked":
+        block = min(block, 512)
     xs, rays, n, rshape = _pad_rays(jnp.asarray(xs), jnp.asarray(rays), block)
-    lin, lens = _precompute_blocks(gs, xs, rays, block, jnp.dtype(itype).name)
+    lin, lens = _precompute_blocks(gs, xs, rays, block,
+                                   jnp.dtype(itype).name, method)
     return lin, lens, n, rshape
 
 
