@@ -28,7 +28,6 @@ Improvements over the reference (documented divergences):
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional
 
@@ -45,7 +44,7 @@ from .ops.project import (
     project_table,
 )
 from .ops.trace import GridSpec
-from .viewgeom import ViewGeom, ViewGeomCollection
+from .viewgeom import ViewGeom
 
 __all__ = ["Operator"]
 

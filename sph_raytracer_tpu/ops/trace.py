@@ -24,8 +24,7 @@ Pipeline, per ray (all rays vectorized, all shapes static):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import TraceConfig
 from ..operator import Operator
-from ..ops.project import precompute_table, project_fused, project_table
+from ..ops.project import project_fused, project_table
 from ..ops.trace import GridSpec
 from .mesh import RAY_AXIS, make_mesh
 

@@ -16,9 +16,8 @@ Adds what the reference lacks (SURVEY §5.3/§5.4): checkpoint/resume of
 """
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import math
 from collections import namedtuple
-from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
