@@ -58,7 +58,7 @@ class TraceConfig:
     # lane-routed engine parameters (ops/route.py): rays per tile, window
     # rows, reduce passes.  Measured flagship sweet spot on v5e.
     routed_g: int = 2048
-    routed_sr: int = 32
+    routed_sr: int = 64
     routed_kd: int = 3
 
     def replace(self, **kw) -> "TraceConfig":
