@@ -53,4 +53,5 @@ def time_fn(f: Callable, *args, iters: int = 10, warmup: int = 1,
     t0 = time.time()
     run(baseline_iters + iters)
     t2 = time.time() - t0
-    return (t2 - t1) / iters
+    # timing noise can make the slope marginally negative for trivial fns
+    return max(0.0, (t2 - t1) / iters)
