@@ -117,6 +117,17 @@ class Operator:
         mode = config.mode
         if mode == "auto":
             mode = "routed" if jax.default_backend() == "tpu" else "precomputed"
+        if mode == "routed" and jnp.dtype(config.ftype) != jnp.float32:
+            # the lane-routed engine stores f32 tables (TPU vector units
+            # have no f64); non-f32 operators keep the XLA path
+            if config.mode == "routed":
+                import warnings
+
+                warnings.warn(
+                    "routed mode requires float32 (its tables are f32); "
+                    "falling back to mode='precomputed' for "
+                    f"ftype={jnp.dtype(config.ftype).name}")
+            mode = "precomputed"
         self._mode = mode
 
         self.lin = self.lens = None

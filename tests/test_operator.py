@@ -178,3 +178,15 @@ def test_repr(small):
     grid, geom, op = small
     assert "8, 8, 8" in repr(op)
     assert "6, 6" in repr(op)
+
+
+def test_routed_f64_falls_back():
+    """Routed tables are f32 (ops/route.py); a non-f32 operator must fall
+    back to the XLA path with a warning rather than silently degrade."""
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = ConeRectGeom((6, 6), pos=(2.0, 0, 0), fov=(40, 40))
+    with pytest.warns(UserWarning, match="falling back"):
+        op = Operator(grid, geom, mode="routed", ftype=jnp.float64)
+    assert op._mode == "precomputed"
+    img = np.asarray(op(jnp.ones(grid.shape, F64)))
+    assert np.isfinite(img).all()
