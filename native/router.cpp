@@ -207,7 +207,10 @@ int64_t route_assign(
           int32_t l = lp[owner[s]];
           int32_t k = cnt[l]++;
           if (k >= KD) return -2;
-          kpass[owner[e - 1]] = static_cast<uint8_t>(k);
+          // every column of the run carries its pass (kcol table); the
+          // reduce tables only read it at the run end
+          for (int32_t t2 = s; t2 < e; ++t2)
+            kpass[owner[t2]] = static_cast<uint8_t>(k);
           runend[owner[e - 1]] = 1;
           mr_fwd = std::max(mr_fwd, e - s);
           s = e;

@@ -29,8 +29,11 @@ The kernels then need only dense vector ops:
   per routing pass k<KD picks each run's total at the ray's reduce lane,
   and masked column sums accumulate ``y[tile]``.
 
-  backward: g arrives *by coordinate* (each column knows its (hi, lp)) —
-  HI lane-gathers + selects, no inverse routing; ``g·W`` is then
+  backward: each column's g = dy[hi, lp] is fetched lane-aligned: by
+  construction ``hik[k][row, lp]`` equals the hi of the pass-k run at
+  (row, lp), so a row-select of the dy tile by ``hik[k]`` followed by one
+  lane-gather at ``lp8`` yields g for every pass-k column — KD passes
+  (selected by KCOL) instead of HI coordinate gathers; ``g·W`` is then
   lane-permuted to voxel-lane-sorted order (PERM), segment-summed per
   voxel run, and placed at its voxel lane (PUT) — the exact transpose,
   with no scatter anywhere.
@@ -70,6 +73,9 @@ class RoutedTables:
         put:  (NC·SR, L) int8 — lane l ↦ permuted column holding the end
               of the voxel-lane-l run.
         putv: (NC·SR, L) int8 — 1 where lane l has a run.
+        kcol: (NC·SR, L) int8 — reduce pass k of the column's run; with
+              lp8 and hik it lets the backward fetch g lane-aligned:
+              g[col] = dy[hik[kcol][row, lp8[col]], lp8[col]].
     Per reduce pass k < KD:
         src:  (KD, NC·SR, L) int8 — run-end column per (row, lp).
         hik:  (KD, NC·SR, L) int8 — output bucket; -1 = dead slot.
@@ -88,6 +94,7 @@ class RoutedTables:
     perm: np.ndarray
     put: np.ndarray
     putv: np.ndarray
+    kcol: np.ndarray
     src: np.ndarray
     hik: np.ndarray
     sg: np.ndarray
@@ -118,7 +125,7 @@ class RoutedTables:
     def table_bytes(self) -> int:
         return sum(a.nbytes for a in (
             self.lvw, self.w, self.hi8, self.lp8, self.perm, self.put,
-            self.putv, self.src, self.hik))
+            self.putv, self.kcol, self.src, self.hik))
 
     def pad_density(self, flat):
         import jax.numpy as jnp
@@ -295,6 +302,8 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     ke = k_of_run[run_id[ends]]
     src[ke, rows[ends], f["lp"][ends]] = col[ends].astype(np.int8)
     hik[ke, rows[ends], f["lp"][ends]] = f["hi"][ends]
+    kcolt = np.zeros((NR, LANES), np.int8)
+    kcolt[rows, col] = k_of_run[run_id]
 
     # ---- backward permutation + placement -------------------------------
     porder = np.lexsort((col, f["lv"], rows))  # within row: by (lv, col)
@@ -328,7 +337,7 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
 
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
-        src=src, hik=hik, sg=sg_c, tile=tile_c,
+        kcol=kcolt, src=src, hik=hik, sg=sg_c, tile=tile_c,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
@@ -363,6 +372,8 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
     hik = np.full((KD, NR, LANES), -1, np.int8)
     src[k[ends], rows[ends], lp[ends]] = col[ends].astype(np.int8)
     hik[k[ends], rows[ends], lp[ends]] = hi[ends]
+    kcolt = np.zeros((NR, LANES), np.int8)
+    kcolt[rows, col] = k.astype(np.int8)
 
     perm = np.zeros((NR, LANES), np.int8)
     perm[:] = np.arange(LANES, dtype=np.int8)[None, :]
@@ -384,7 +395,7 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
 
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
-        src=src, hik=hik, sg=sg_c, tile=tile_c,
+        kcol=kcolt, src=src, hik=hik, sg=sg_c, tile=tile_c,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
@@ -400,7 +411,7 @@ def _empty_tables(SR, KD, G, HI, T, H, R, volume_size):
         hi8=z8.copy(), lp8=z8.copy(),
         perm=np.broadcast_to(np.arange(LANES, dtype=np.int8),
                              (SR, LANES)).copy(),
-        put=z8.copy(), putv=z8.copy(),
+        put=z8.copy(), putv=z8.copy(), kcol=z8.copy(),
         src=np.zeros((KD, SR, LANES), np.int8),
         hik=np.full((KD, SR, LANES), -1, np.int8),
         sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
@@ -441,7 +452,7 @@ def pad_chunks(rt: RoutedTables, multiple: int = 1024) -> RoutedTables:
         lvw=padrows(rt.lvw), w=padrows(rt.w), hi8=padrows(rt.hi8),
         lp8=padrows(rt.lp8),
         perm=np.concatenate([rt.perm, perm_pad], axis=0),
-        put=padrows(rt.put), putv=padrows(rt.putv),
+        put=padrows(rt.put), putv=padrows(rt.putv), kcol=padrows(rt.kcol),
         src=padk(rt.src, 0), hik=padk(rt.hik, -1),
         sg=np.concatenate([rt.sg, np.full(e, rt.H // SR - 1, np.int32)]),
         tile=np.concatenate([rt.tile, np.full(e, rt.T - 1, np.int32)]),

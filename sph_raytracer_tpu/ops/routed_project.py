@@ -46,6 +46,7 @@ class DeviceTables(NamedTuple):
     perm: jax.Array     # (NC·SR, L) int8
     put: jax.Array      # (NC·SR, L) int8
     putv: jax.Array     # (NC·SR, L) int8
+    kcol: jax.Array     # (NC·SR, L) int8
     src: jax.Array      # (KD, NC·SR, L) int8
     hik: jax.Array      # (KD, NC·SR, L) int8
     sg: jax.Array       # (NC,) int32
@@ -75,7 +76,8 @@ def device_tables(rt: RoutedTables):
         lvw=jnp.asarray(rt.lvw), w=jnp.asarray(rt.w),
         hi8=jnp.asarray(rt.hi8), lp8=jnp.asarray(rt.lp8),
         perm=jnp.asarray(rt.perm), put=jnp.asarray(rt.put),
-        putv=jnp.asarray(rt.putv), src=jnp.asarray(rt.src),
+        putv=jnp.asarray(rt.putv), kcol=jnp.asarray(rt.kcol),
+        src=jnp.asarray(rt.src),
         hik=jnp.asarray(rt.hik), sg=jnp.asarray(rt.sg),
         tile=jnp.asarray(rt.tile), fwd_first=jnp.asarray(rt.fwd_first),
         bwd_order=jnp.asarray(rt.bwd_order),
@@ -129,18 +131,24 @@ def routed_project_ref(d2, dt: DeviceTables, meta: RoutedMeta):
 
 
 def routed_backproject_ref(dy, dt: DeviceTables, meta: RoutedMeta):
-    """Transpose: dD2 (H, 128) from dy (T, HI, 128) (reference impl)."""
+    """Transpose: dD2 (H, 128) from dy (T, HI, 128) (reference impl).
+
+    g-fetch: each column's run has reduce pass k = kcol and reduce lane
+    lp; by construction ``hik[k][row, lp]`` is that run's output bucket
+    hi, so ``g = dy[hik[k][row, lp8], lp8]`` — a lane-aligned row-select
+    per pass followed by one lane-gather, KD passes total (vs HI
+    lane-gathers fetching by (hi, lp) coordinates directly)."""
     NC, SR, KD, HI, H = meta.NC, meta.SR, meta.KD, meta.HI, meta.H
     dyc = dy[dt.tile]  # (NC, HI, L)
-    hi32 = dt.hi8.reshape(NC, SR, LANES).astype(jnp.int32)
     lp32 = dt.lp8.reshape(NC, SR, LANES).astype(jnp.int32)
-    # g per column = dy[hi, lp]
+    kc = dt.kcol.reshape(NC, SR, LANES).astype(jnp.int32)
     g = jnp.zeros((NC, SR, LANES), dy.dtype)
-    for h in range(HI):
-        gh = jnp.take_along_axis(
-            jnp.broadcast_to(dyc[:, h, None, :], (NC, SR, LANES)), lp32,
-            axis=2)
-        g = jnp.where(hi32 == h, gh, g)
+    for k in range(KD):
+        hv = jnp.clip(
+            dt.hik[k].reshape(NC, SR, LANES).astype(jnp.int32), 0, HI - 1)
+        rk = jnp.take_along_axis(dyc, hv, axis=1)     # dy[hik[k], lane]
+        gc = jnp.take_along_axis(rk, lp32, axis=2)    # at the reduce lane
+        g = jnp.where(kc == k, gc, g)
     gw = g * dt.w.reshape(NC, SR, LANES)
 
     perm = dt.perm.reshape(NC, SR, LANES).astype(jnp.int32)
@@ -193,13 +201,17 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
             key_s = pltpu.roll(rkey, s, 1)
             ok = (lane >= s) & (key_s == rkey)
             acc = acc + jnp.where(ok, acc_s, 0.0)
-        for k in range(KD):
-            Rk = jnp.take_along_axis(acc, src_ref[k].astype(jnp.int32),
-                                     axis=1)
-            hik = hik_ref[k].astype(jnp.int32)
-            for h in range(HI):
-                y_ref[0, h, :] += jnp.sum(
-                    jnp.where(hik == h, Rk, 0.0), axis=0)
+        # run totals per pass (KD lane-gathers), then one masked row-sum
+        # per output bucket h (folding the KD passes first saves
+        # (KD-1)·HI row-reductions and y round-trips per chunk)
+        Rks = [jnp.take_along_axis(acc, src_ref[k].astype(jnp.int32), axis=1)
+               for k in range(KD)]
+        hiks = [hik_ref[k].astype(jnp.int32) for k in range(KD)]
+        for h in range(HI):
+            z = jnp.where(hiks[0] == h, Rks[0], 0.0)
+            for k in range(1, KD):
+                z = z + jnp.where(hiks[k] == h, Rks[k], 0.0)
+            y_ref[0, h, :] += jnp.sum(z, axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # sg, tile, first
@@ -225,31 +237,25 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
       dt.lvw, dt.w, dt.hi8, dt.lp8, dt.src, dt.hik, d2)
 
 
-def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False):
+# "kpass-tree": KD lane-gathers, row-select as an HI-way select tree
+#   (Mosaic rejects take_along_axis(axis=0) when the index is taller than
+#   the 8-row sublane window, so the tree is the compiling form).
+# "kpass": same but row-select via take_along_axis(axis=0) — interpret/CPU
+#   only.  "hi": legacy HI-lane-gather fetch (1.72x fwd vs 1.29x, v5e).
+BWD_G_FETCH = "kpass-tree"
+
+
+def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
+                g_fetch=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     NC, SR, KD, HI, H = meta.NC, meta.SR, meta.KD, meta.HI, meta.H
+    g_fetch = BWD_G_FETCH if g_fetch is None else g_fetch
 
-    def kernel(order_ref, sg_ref, first_ref, tile_ref, lvw_ref, w_ref,
-               hi_ref, lp_ref, perm_ref, put_ref, putv_ref, dy_ref,
-               out_ref):
-        b = pl.program_id(0)
-
-        @pl.when(first_ref[b] == 1)
-        def _init():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        hi32 = hi_ref[:].astype(jnp.int32)
-        lp32 = lp_ref[:].astype(jnp.int32)
-        g = jnp.zeros((SR, LANES), out_ref.dtype)
-        for h in range(HI):
-            gh = jnp.take_along_axis(
-                jnp.broadcast_to(dy_ref[0, h, :][None, :], (SR, LANES)),
-                lp32, axis=1)
-            g = jnp.where(hi32 == h, gh, g)
-        gw = g * w_ref[:]
-
+    def tail(gw, lvw_ref, perm_ref, put_ref, putv_ref, out_ref):
+        """Shared pipeline after the g-fetch: permute to voxel-lane-sorted
+        order, segment-sum per voxel run, place at the voxel lane."""
         perm = perm_ref[:].astype(jnp.int32)
         gp = jnp.take_along_axis(gw, perm, axis=1)
         key2 = jnp.take_along_axis(lvw_ref[:].astype(jnp.int32), perm,
@@ -267,19 +273,68 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False):
         placed = placed * putv_ref[:].astype(jnp.int32).astype(out_ref.dtype)
         out_ref[:] += placed
 
+    def kernel_hi(order_ref, sg_ref, first_ref, tile_ref, lvw_ref, w_ref,
+                  hi_ref, lp_ref, perm_ref, put_ref, putv_ref, dy_ref,
+                  out_ref):
+        b = pl.program_id(0)
+
+        @pl.when(first_ref[b] == 1)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        hi32 = hi_ref[:].astype(jnp.int32)
+        lp32 = lp_ref[:].astype(jnp.int32)
+        g = jnp.zeros((SR, LANES), out_ref.dtype)
+        for h in range(HI):
+            gh = jnp.take_along_axis(
+                jnp.broadcast_to(dy_ref[0, h, :][None, :], (SR, LANES)),
+                lp32, axis=1)
+            g = jnp.where(hi32 == h, gh, g)
+        tail(g * w_ref[:], lvw_ref, perm_ref, put_ref, putv_ref, out_ref)
+
+    def kernel_kpass(order_ref, sg_ref, first_ref, tile_ref, lvw_ref, w_ref,
+                     lp_ref, kcol_ref, hik_ref, perm_ref, put_ref, putv_ref,
+                     dy_ref, out_ref):
+        b = pl.program_id(0)
+
+        @pl.when(first_ref[b] == 1)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        dyt = dy_ref[0]  # (HI, LANES)
+        lp32 = lp_ref[:].astype(jnp.int32)
+        kc = kcol_ref[:].astype(jnp.int32)
+        g = jnp.zeros((SR, LANES), out_ref.dtype)
+        for k in range(KD):
+            hv = jnp.clip(hik_ref[k].astype(jnp.int32), 0, HI - 1)
+            if g_fetch == "kpass-tree":
+                rk = jnp.broadcast_to(dyt[0][None, :], (SR, LANES))
+                for h in range(1, HI):
+                    rk = jnp.where(hv == h, dyt[h][None, :], rk)
+            else:
+                rk = jnp.take_along_axis(dyt, hv, axis=0)
+            gc = jnp.take_along_axis(rk, lp32, axis=1)
+            g = jnp.where(kc == k, gc, g)
+        tail(g * w_ref[:], lvw_ref, perm_ref, put_ref, putv_ref, out_ref)
+
+    col_spec = pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0))
+    dy_spec = pl.BlockSpec((1, HI, LANES), lambda b, o, sg, f, t: (t[b], 0, 0))
+    if g_fetch == "hi":
+        kernel = kernel_hi
+        in_specs = [col_spec] * 7 + [dy_spec]
+        tables = (dt.lvw, dt.w, dt.hi8, dt.lp8, dt.perm, dt.put, dt.putv, dy)
+    else:
+        kernel = kernel_kpass
+        hik_spec = pl.BlockSpec((KD, SR, LANES),
+                                lambda b, o, sg, f, t: (0, o[b], 0))
+        in_specs = [col_spec] * 4 + [hik_spec] + [col_spec] * 3 + [dy_spec]
+        tables = (dt.lvw, dt.w, dt.lp8, dt.kcol, dt.hik, dt.perm, dt.put,
+                  dt.putv, dy)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # order, sg(ordered), first(ordered), tile(ordered)
         grid=(NC,),
-        in_specs=[
-            pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
-            pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
-            pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
-            pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
-            pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
-            pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
-            pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0)),
-            pl.BlockSpec((1, HI, LANES), lambda b, o, sg, f, t: (t[b], 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (sg[b], 0)),
     )
     sg_o = dt.sg[dt.bwd_order]
@@ -289,8 +344,7 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
         interpret=interpret,
-    )(dt.bwd_order, sg_o, dt.bwd_first, tile_o,
-      dt.lvw, dt.w, dt.hi8, dt.lp8, dt.perm, dt.put, dt.putv, dy)
+    )(dt.bwd_order, sg_o, dt.bwd_first, tile_o, *tables)
 
 
 # ---------------------------------------------------------------------------

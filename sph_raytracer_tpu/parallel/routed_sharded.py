@@ -59,7 +59,7 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
             rt,
             lvw=rt.lvw[sl], w=rt.w[sl], hi8=rt.hi8[sl], lp8=rt.lp8[sl],
             perm=rt.perm[sl], put=rt.put[sl], putv=rt.putv[sl],
-            src=rt.src[:, sl], hik=rt.hik[:, sl],
+            kcol=rt.kcol[sl], src=rt.src[:, sl], hik=rt.hik[:, sl],
             sg=rt.sg[lo:hi], tile=rt.tile[lo:hi] - d * tiles_per,
             fwd_first=_first_of(rt.tile[lo:hi]),
             bwd_order=np.zeros(max(hi - lo, 1), np.int32),
@@ -77,6 +77,7 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
                                      (rt.SR, LANES)).copy(),
                 put=np.zeros((rt.SR, LANES), np.int8),
                 putv=np.zeros((rt.SR, LANES), np.int8),
+                kcol=np.zeros((rt.SR, LANES), np.int8),
                 src=np.zeros((rt.KD, rt.SR, LANES), np.int8),
                 hik=np.full((rt.KD, rt.SR, LANES), -1, np.int8),
                 sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
@@ -96,8 +97,9 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
         shards[i] = dataclasses.replace(
             s, bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32))
 
-    fields = ("lvw", "w", "hi8", "lp8", "perm", "put", "putv", "src",
-              "hik", "sg", "tile", "fwd_first", "bwd_order", "bwd_first")
+    fields = ("lvw", "w", "hi8", "lp8", "perm", "put", "putv", "kcol",
+              "src", "hik", "sg", "tile", "fwd_first", "bwd_order",
+              "bwd_first")
     stacked = {k: np.stack([getattr(s, k) for s in shards]) for k in fields}
     meta = RoutedMeta(NCp, rt.SR, rt.KD, rt.G, rt.HI, tiles_per, rt.H,
                       rt.n_rays, rt.volume_size, rt.scan_fwd, rt.scan_bwd)
@@ -197,7 +199,7 @@ def sharded_routed_project(mesh, tables: dict, meta: RoutedMeta, d2,
 
 
 def _tables_of(leaves):
-    keys = ["bwd_first", "bwd_order", "fwd_first", "hi8", "hik", "lp8",
-            "lvw", "perm", "put", "putv", "sg", "src", "tile", "w"]
+    keys = ["bwd_first", "bwd_order", "fwd_first", "hi8", "hik", "kcol",
+            "lp8", "lvw", "perm", "put", "putv", "sg", "src", "tile", "w"]
     d = dict(zip(keys, leaves))
     return DeviceTables(**d)

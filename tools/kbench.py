@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Microbenchmark: routed fwd vs bwd kernel times on the flagship config."""
+import os
+import sys
+import time
+
+if os.environ.get("JAX_PLATFORMS") and \
+        "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("SPH_TPU_TIMING", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+    from sph_raytracer_tpu.utils.profiling import time_fn
+
+    grid = SphericalGrid(shape=(50, 50, 50))
+    geom = sum(
+        ConeRectGeom((50, 100), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 50, endpoint=False)
+    )
+    nrays = int(np.prod(geom.shape))
+
+    t0 = time.time()
+    op = Operator(grid, geom, mode="auto", ftype=jnp.float32)
+    print(f"[kbench] setup {time.time() - t0:.1f}s mode={op._mode}",
+          file=sys.stderr)
+    assert op._mode == "routed"
+    meta = op._rmeta
+    print(f"[kbench] NC={meta.NC} SR={meta.SR} KD={meta.KD} G={meta.G} "
+          f"HI={meta.HI} T={meta.T} H={meta.H} scan_fwd={meta.scan_fwd} "
+          f"scan_bwd={meta.scan_bwd}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    density = jnp.asarray(rng.random(grid.vshape).ravel(), jnp.float32)
+    yf = jnp.asarray(rng.random(nrays), jnp.float32)
+
+    import functools
+
+    from sph_raytracer_tpu.ops import routed_project as rp
+
+    tf = time_fn(op._routed, density, op._dt)
+    print(f"[kbench] fwd {tf*1e3:.2f} ms ({nrays/tf/1e6:.1f}M rays/s)",
+          file=sys.stderr)
+
+    pad = meta.T * meta.G - nrays
+    yt = jnp.concatenate([yf, jnp.zeros((pad,), yf.dtype)]).reshape(
+        meta.T, meta.HI, 128)
+    outs = {}
+    for variant in ("hi", "kpass", "kpass-tree"):
+        f = jax.jit(functools.partial(
+            rp._bwd_pallas, meta=meta, g_fetch=variant))
+        try:
+            t0 = time.time()
+            o = f(yt, op._dt)
+            np.asarray(o.ravel()[:4])
+            tc = time.time() - t0
+            tb = time_fn(f, yt, op._dt)
+            outs[variant] = np.asarray(o)
+            print(f"[kbench] bwd[{variant}] {tb*1e3:.2f} ms "
+                  f"({nrays/tb/1e6:.1f}M rays/s, {tb/tf:.2f}x fwd; "
+                  f"compile {tc:.0f}s)", file=sys.stderr)
+        except Exception as e:
+            print(f"[kbench] bwd[{variant}] FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", file=sys.stderr)
+    ks = list(outs)
+    for k2 in ks[1:]:
+        d = np.abs(outs[ks[0]] - outs[k2]).max()
+        print(f"[kbench] max|{ks[0]} - {k2}| = {d:.3e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
