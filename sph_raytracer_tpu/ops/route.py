@@ -81,6 +81,9 @@ class RoutedTables:
         hik:  (KD, NC·SR, L) int8 — output bucket; -1 = dead slot.
     Per-chunk scalars:
         sg, tile: (NC,) int32.
+        kmax: (NC,) int32 — highest reduce pass used in the chunk; the
+            kernels skip pass k > kmax work per chunk (most chunks never
+            collide: flagship dist ≈ 31% kmax=0, 51% kmax=1).
         fwd_first: (NC,) int32 — 1 at the first chunk of each tile (fwd
             order = (tile, sg, rep)).
         bwd_order: (NC,) int32 — chunk permutation sorted by (sg, tile).
@@ -99,6 +102,7 @@ class RoutedTables:
     hik: np.ndarray
     sg: np.ndarray
     tile: np.ndarray
+    kmax: np.ndarray
     fwd_first: np.ndarray
     bwd_order: np.ndarray
     bwd_first: np.ndarray
@@ -304,6 +308,8 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     hik[ke, rows[ends], f["lp"][ends]] = f["hi"][ends]
     kcolt = np.zeros((NR, LANES), np.int8)
     kcolt[rows, col] = k_of_run[run_id]
+    kmax_c = np.zeros(NC, np.int32)
+    np.maximum.at(kmax_c, chunk_of, k_of_run[run_id].astype(np.int32))
 
     # ---- backward permutation + placement -------------------------------
     porder = np.lexsort((col, f["lv"], rows))  # within row: by (lv, col)
@@ -337,7 +343,7 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
 
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
-        kcol=kcolt, src=src, hik=hik, sg=sg_c, tile=tile_c,
+        kcol=kcolt, src=src, hik=hik, sg=sg_c, tile=tile_c, kmax=kmax_c,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
@@ -374,6 +380,8 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
     hik[k[ends], rows[ends], lp[ends]] = hi[ends]
     kcolt = np.zeros((NR, LANES), np.int8)
     kcolt[rows, col] = k.astype(np.int8)
+    kmax_c = np.zeros(NC, np.int32)
+    np.maximum.at(kmax_c, na["chunk_of"], k.astype(np.int32))
 
     perm = np.zeros((NR, LANES), np.int8)
     perm[:] = np.arange(LANES, dtype=np.int8)[None, :]
@@ -395,7 +403,7 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
 
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
-        kcol=kcolt, src=src, hik=hik, sg=sg_c, tile=tile_c,
+        kcol=kcolt, src=src, hik=hik, sg=sg_c, tile=tile_c, kmax=kmax_c,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
@@ -415,6 +423,7 @@ def _empty_tables(SR, KD, G, HI, T, H, R, volume_size):
         src=np.zeros((KD, SR, LANES), np.int8),
         hik=np.full((KD, SR, LANES), -1, np.int8),
         sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
+        kmax=np.zeros(1, np.int32),
         fwd_first=np.ones(1, np.int32),
         bwd_order=np.zeros(1, np.int32), bwd_first=np.ones(1, np.int32),
         NC=1, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
@@ -456,6 +465,7 @@ def pad_chunks(rt: RoutedTables, multiple: int = 1024) -> RoutedTables:
         src=padk(rt.src, 0), hik=padk(rt.hik, -1),
         sg=np.concatenate([rt.sg, np.full(e, rt.H // SR - 1, np.int32)]),
         tile=np.concatenate([rt.tile, np.full(e, rt.T - 1, np.int32)]),
+        kmax=np.concatenate([rt.kmax, np.zeros(e, np.int32)]),
         fwd_first=np.concatenate([rt.fwd_first, np.zeros(e, np.int32)]),
         bwd_order=np.concatenate(
             [rt.bwd_order, np.arange(NC, NCp, dtype=np.int32)]),

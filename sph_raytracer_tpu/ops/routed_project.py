@@ -51,6 +51,7 @@ class DeviceTables(NamedTuple):
     hik: jax.Array      # (KD, NC·SR, L) int8
     sg: jax.Array       # (NC,) int32
     tile: jax.Array     # (NC,) int32
+    kmax: jax.Array     # (NC,) int32
     fwd_first: jax.Array
     bwd_order: jax.Array
     bwd_first: jax.Array
@@ -79,7 +80,8 @@ def device_tables(rt: RoutedTables):
         putv=jnp.asarray(rt.putv), kcol=jnp.asarray(rt.kcol),
         src=jnp.asarray(rt.src),
         hik=jnp.asarray(rt.hik), sg=jnp.asarray(rt.sg),
-        tile=jnp.asarray(rt.tile), fwd_first=jnp.asarray(rt.fwd_first),
+        tile=jnp.asarray(rt.tile), kmax=jnp.asarray(rt.kmax),
+        fwd_first=jnp.asarray(rt.fwd_first),
         bwd_order=jnp.asarray(rt.bwd_order),
         bwd_first=jnp.asarray(rt.bwd_first),
     )
@@ -175,8 +177,8 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
 
     NC, SR, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
 
-    def kernel(sg_ref, tile_ref, first_ref, lvw_ref, w_ref, hi_ref, lp_ref,
-               src_ref, hik_ref, d2_ref, y_ref):
+    def kernel(sg_ref, tile_ref, first_ref, kmax_ref, lvw_ref, w_ref,
+               hi_ref, lp_ref, src_ref, hik_ref, d2_ref, y_ref):
         b = pl.program_id(0)
 
         @pl.when(first_ref[b] == 1)
@@ -201,39 +203,54 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
             key_s = pltpu.roll(rkey, s, 1)
             ok = (lane >= s) & (key_s == rkey)
             acc = acc + jnp.where(ok, acc_s, 0.0)
-        # run totals per pass (KD lane-gathers), then one masked row-sum
-        # per output bucket h (folding the KD passes first saves
-        # (KD-1)·HI row-reductions and y round-trips per chunk)
-        Rks = [jnp.take_along_axis(acc, src_ref[k].astype(jnp.int32), axis=1)
-               for k in range(KD)]
-        hiks = [hik_ref[k].astype(jnp.int32) for k in range(KD)]
-        for h in range(HI):
-            z = jnp.where(hiks[0] == h, Rks[0], 0.0)
-            for k in range(1, KD):
-                z = z + jnp.where(hiks[k] == h, Rks[k], 0.0)
-            y_ref[0, h, :] += jnp.sum(z, axis=0)
+
+        # run totals per pass (lane-gathers), then one masked row-sum per
+        # output bucket h (folding the passes first saves (KD-1)·HI
+        # row-reductions); per-chunk kmax skips unused passes (most chunks
+        # have no reduce-lane collisions)
+        def reduce_body(kd_eff):
+            Rks = [jnp.take_along_axis(acc, src_ref[k].astype(jnp.int32),
+                                       axis=1)
+                   for k in range(kd_eff)]
+            hiks = [hik_ref[k].astype(jnp.int32) for k in range(kd_eff)]
+            for h in range(HI):
+                z = jnp.where(hiks[0] == h, Rks[0], 0.0)
+                for k in range(1, kd_eff):
+                    z = z + jnp.where(hiks[k] == h, Rks[k], 0.0)
+                y_ref[0, h, :] += jnp.sum(z, axis=0)
+
+        if KD == 1:
+            reduce_body(1)
+        else:
+            km = kmax_ref[b]
+            for kd in range(KD):
+                cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
+
+                @pl.when(cond)
+                def _red(kd_eff=kd + 1):
+                    reduce_body(kd_eff)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # sg, tile, first
+        num_scalar_prefetch=4,  # sg, tile, first, kmax
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (b, 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f: (0, b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f: (sg[b], 0)),  # d2 window
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (b, 0)),
+            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f, km: (0, b, 0)),
+            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f, km: (0, b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (sg[b], 0)),  # d2 window
         ],
         out_specs=pl.BlockSpec((1, HI, LANES),
-                               lambda b, sg, t, f: (t[b], 0, 0)),
+                               lambda b, sg, t, f, km: (t[b], 0, 0)),
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
         interpret=interpret,
-    )(dt.sg, dt.tile, dt.fwd_first,
+    )(dt.sg, dt.tile, dt.fwd_first, dt.kmax,
       dt.lvw, dt.w, dt.hi8, dt.lp8, dt.src, dt.hik, d2)
 
 
@@ -273,9 +290,9 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         placed = placed * putv_ref[:].astype(jnp.int32).astype(out_ref.dtype)
         out_ref[:] += placed
 
-    def kernel_hi(order_ref, sg_ref, first_ref, tile_ref, lvw_ref, w_ref,
-                  hi_ref, lp_ref, perm_ref, put_ref, putv_ref, dy_ref,
-                  out_ref):
+    def kernel_hi(order_ref, sg_ref, first_ref, tile_ref, kmax_ref,
+                  lvw_ref, w_ref, hi_ref, lp_ref, perm_ref, put_ref,
+                  putv_ref, dy_ref, out_ref):
         b = pl.program_id(0)
 
         @pl.when(first_ref[b] == 1)
@@ -292,9 +309,9 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
             g = jnp.where(hi32 == h, gh, g)
         tail(g * w_ref[:], lvw_ref, perm_ref, put_ref, putv_ref, out_ref)
 
-    def kernel_kpass(order_ref, sg_ref, first_ref, tile_ref, lvw_ref, w_ref,
-                     lp_ref, kcol_ref, hik_ref, perm_ref, put_ref, putv_ref,
-                     dy_ref, out_ref):
+    def kernel_kpass(order_ref, sg_ref, first_ref, tile_ref, kmax_ref,
+                     lvw_ref, w_ref, lp_ref, kcol_ref, hik_ref, perm_ref,
+                     put_ref, putv_ref, dy_ref, out_ref, g_scr):
         b = pl.program_id(0)
 
         @pl.when(first_ref[b] == 1)
@@ -304,21 +321,41 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         dyt = dy_ref[0]  # (HI, LANES)
         lp32 = lp_ref[:].astype(jnp.int32)
         kc = kcol_ref[:].astype(jnp.int32)
-        g = jnp.zeros((SR, LANES), out_ref.dtype)
-        for k in range(KD):
-            hv = jnp.clip(hik_ref[k].astype(jnp.int32), 0, HI - 1)
-            if g_fetch == "kpass-tree":
-                rk = jnp.broadcast_to(dyt[0][None, :], (SR, LANES))
-                for h in range(1, HI):
-                    rk = jnp.where(hv == h, dyt[h][None, :], rk)
-            else:
-                rk = jnp.take_along_axis(dyt, hv, axis=0)
-            gc = jnp.take_along_axis(rk, lp32, axis=1)
-            g = jnp.where(kc == k, gc, g)
-        tail(g * w_ref[:], lvw_ref, perm_ref, put_ref, putv_ref, out_ref)
 
-    col_spec = pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (o[b], 0))
-    dy_spec = pl.BlockSpec((1, HI, LANES), lambda b, o, sg, f, t: (t[b], 0, 0))
+        def gfetch(kd_eff):
+            g = jnp.zeros((SR, LANES), out_ref.dtype)
+            for k in range(kd_eff):
+                hv = jnp.clip(hik_ref[k].astype(jnp.int32), 0, HI - 1)
+                if g_fetch == "kpass-tree":
+                    rk = jnp.broadcast_to(dyt[0][None, :], (SR, LANES))
+                    for h in range(1, HI):
+                        rk = jnp.where(hv == h, dyt[h][None, :], rk)
+                else:
+                    rk = jnp.take_along_axis(dyt, hv, axis=0)
+                gc = jnp.take_along_axis(rk, lp32, axis=1)
+                # single-pass chunks skip the pass select (dead columns
+                # are zeroed by w anyway)
+                g = gc if kd_eff == 1 else jnp.where(kc == k, gc, g)
+            g_scr[:] = g
+
+        if KD == 1:
+            gfetch(1)
+        else:
+            km = kmax_ref[b]
+            for kd in range(KD):
+                cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
+
+                @pl.when(cond)
+                def _g(kd_eff=kd + 1):
+                    gfetch(kd_eff)
+
+        tail(g_scr[:] * w_ref[:], lvw_ref, perm_ref, put_ref, putv_ref,
+             out_ref)
+
+    col_spec = pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t, km: (o[b], 0))
+    dy_spec = pl.BlockSpec((1, HI, LANES),
+                           lambda b, o, sg, f, t, km: (t[b], 0, 0))
+    scratch = []
     if g_fetch == "hi":
         kernel = kernel_hi
         in_specs = [col_spec] * 7 + [dy_spec]
@@ -326,25 +363,29 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
     else:
         kernel = kernel_kpass
         hik_spec = pl.BlockSpec((KD, SR, LANES),
-                                lambda b, o, sg, f, t: (0, o[b], 0))
+                                lambda b, o, sg, f, t, km: (0, o[b], 0))
         in_specs = [col_spec] * 4 + [hik_spec] + [col_spec] * 3 + [dy_spec]
         tables = (dt.lvw, dt.w, dt.lp8, dt.kcol, dt.hik, dt.perm, dt.put,
                   dt.putv, dy)
+        scratch = [pltpu.VMEM((SR, LANES), dy.dtype)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # order, sg(ordered), first(ordered), tile(ordered)
+        num_scalar_prefetch=5,  # order + sg/first/tile/kmax (bwd-ordered)
         grid=(NC,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t: (sg[b], 0)),
+        out_specs=pl.BlockSpec((SR, LANES),
+                               lambda b, o, sg, f, t, km: (sg[b], 0)),
+        scratch_shapes=scratch,
     )
     sg_o = dt.sg[dt.bwd_order]
     tile_o = dt.tile[dt.bwd_order]
+    km_o = dt.kmax[dt.bwd_order]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
         interpret=interpret,
-    )(dt.bwd_order, sg_o, dt.bwd_first, tile_o, *tables)
+    )(dt.bwd_order, sg_o, dt.bwd_first, tile_o, km_o, *tables)
 
 
 # ---------------------------------------------------------------------------

@@ -30,8 +30,16 @@ def main():
     )
     nrays = int(np.prod(geom.shape))
 
+    from sph_raytracer_tpu.config import TraceConfig
+
+    cfg = TraceConfig(
+        mode="auto",
+        routed_g=int(os.environ.get("SPH_G", 2048)),
+        routed_sr=int(os.environ.get("SPH_SR", 64)),
+        routed_kd=int(os.environ.get("SPH_KD", 3)),
+    )
     t0 = time.time()
-    op = Operator(grid, geom, mode="auto", ftype=jnp.float32)
+    op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
     print(f"[kbench] setup {time.time() - t0:.1f}s mode={op._mode}",
           file=sys.stderr)
     assert op._mode == "routed"
@@ -56,7 +64,8 @@ def main():
     yt = jnp.concatenate([yf, jnp.zeros((pad,), yf.dtype)]).reshape(
         meta.T, meta.HI, 128)
     outs = {}
-    for variant in ("hi", "kpass", "kpass-tree"):
+    variants = sys.argv[1:] or ["hi", "kpass", "kpass-tree"]
+    for variant in variants:
         f = jax.jit(functools.partial(
             rp._bwd_pallas, meta=meta, g_fetch=variant))
         try:
