@@ -41,6 +41,7 @@ int64_t route_assign(
     int64_t n, int64_t NSG, int32_t SR, int32_t KD,
     int32_t* chunk_of, uint8_t* col_out, uint8_t* kpass,
     uint8_t* runend, uint8_t* ppos, uint8_t* lastp,
+    uint8_t* rposf, uint8_t* rposb,
     int64_t chunk_cap, int32_t* chunk_sg, int32_t* chunk_tile,
     int32_t* max_run_fwd, int32_t* max_run_bwd) {
   const int32_t LANES = 128;
@@ -207,10 +208,13 @@ int64_t route_assign(
           int32_t l = lp[owner[s]];
           int32_t k = cnt[l]++;
           if (k >= KD) return -2;
-          // every column of the run carries its pass (kcol table); the
-          // reduce tables only read it at the run end
-          for (int32_t t2 = s; t2 < e; ++t2)
+          // every column of the run carries its pass (kcol table) and its
+          // 0-based position in the run (the forward scan's rpos mask);
+          // the reduce tables only read kpass at the run end
+          for (int32_t t2 = s; t2 < e; ++t2) {
             kpass[owner[t2]] = static_cast<uint8_t>(k);
+            rposf[owner[t2]] = static_cast<uint8_t>(t2 - s);
+          }
           runend[owner[e - 1]] = 1;
           mr_fwd = std::max(mr_fwd, e - s);
           s = e;
@@ -226,6 +230,7 @@ int64_t route_assign(
       for (int32_t t = 0; t < m; ++t) {
         int32_t src = orderv[t];
         ppos[owner[src]] = static_cast<uint8_t>(t);
+        rposb[owner[src]] = static_cast<uint8_t>(runlen);
         bool last =
             (t == m - 1) || (tmp[orderv[t + 1]].first != tmp[src].first);
         lastp[owner[src]] = last ? 1 : 0;

@@ -61,7 +61,7 @@ def _load():
         i64p, i64p, i32p, i32p, i32p,              # rowkey, tsg, p, lv, lp
         ctypes.c_int64, ctypes.c_int64,            # n, NSG
         ctypes.c_int32, ctypes.c_int32,            # SR, KD
-        i32p, u8p, u8p, u8p, u8p, u8p,             # per-crossing outputs
+        i32p, u8p, u8p, u8p, u8p, u8p, u8p, u8p,   # per-crossing outputs
         ctypes.c_int64, i32p, i32p,                # chunk_cap, sg, tile
         i32p, i32p,                                # max_run_fwd/bwd
     ]
@@ -96,6 +96,8 @@ def native_assign(rowkey, tsg, p, lv, lp, NSG: int, SR: int, KD: int
     runend = np.empty(n, np.uint8)
     ppos = np.empty(n, np.uint8)
     lastp = np.empty(n, np.uint8)
+    rposf = np.empty(n, np.uint8)
+    rposb = np.empty(n, np.uint8)
     cap = max(1024, n // 32 + 4096)
     while True:
         chunk_sg = np.empty(cap, np.int32)
@@ -113,7 +115,7 @@ def native_assign(rowkey, tsg, p, lv, lp, NSG: int, SR: int, KD: int
             P(rowkey, i64p), P(tsg, i64p), P(p32, i32p), P(lv32, i32p),
             P(lp32, i32p), n, NSG, SR, KD,
             P(chunk_of, i32p), P(col, u8p), P(kpass, u8p), P(runend, u8p),
-            P(ppos, u8p), P(lastp, u8p),
+            P(ppos, u8p), P(lastp, u8p), P(rposf, u8p), P(rposb, u8p),
             cap, P(chunk_sg, i32p), P(chunk_tile, i32p),
             ctypes.byref(mrf), ctypes.byref(mrb),
         )
@@ -127,7 +129,7 @@ def native_assign(rowkey, tsg, p, lv, lp, NSG: int, SR: int, KD: int
 
     return dict(
         chunk_of=chunk_of, col=col, kpass=kpass, runend=runend,
-        ppos=ppos, lastp=lastp,
+        ppos=ppos, lastp=lastp, rposf=rposf, rposb=rposb,
         chunk_sg=chunk_sg[:NC].copy(), chunk_tile=chunk_tile[:NC].copy(),
         NC=NC, max_run_fwd=int(mrf.value), max_run_bwd=int(mrb.value),
     )

@@ -76,6 +76,11 @@ class RoutedTables:
         kcol: (NC·SR, L) int8 — reduce pass k of the column's run; with
               lp8 and hik it lets the backward fetch g lane-aligned:
               g[col] = dy[hik[kcol][row, lp8[col]], lp8[col]].
+        rposf: (NC·SR, L) int8 — 0-based position of the column within its
+              ray-run; the forward segmented scan's step-s mask is simply
+              ``rposf >= s`` (no key comparison / extra roll per step).
+        rposb: (NC·SR, L) int8 — same for the voxel-lane runs of the
+              backward scan, stored at the *permuted* lane position.
     Per reduce pass k < KD:
         src:  (KD, NC·SR, L) int8 — run-end column per (row, lp).
         hik:  (KD, NC·SR, L) int8 — output bucket; -1 = dead slot.
@@ -84,6 +89,10 @@ class RoutedTables:
         kmax: (NC,) int32 — highest reduce pass used in the chunk; the
             kernels skip pass k > kmax work per chunk (most chunks never
             collide: flagship dist ≈ 31% kmax=0, 51% kmax=1).
+        sdf/sdb: (NC,) int32 — Hillis-Steele steps needed to cover the
+            chunk's longest ray-run / voxel-lane-run; each scan step is
+            wrapped in ``pl.when(sd > t)`` so chunks with short runs (the
+            common case) skip the deep steps.
         fwd_first: (NC,) int32 — 1 at the first chunk of each tile (fwd
             order = (tile, sg, rep)).
         bwd_order: (NC,) int32 — chunk permutation sorted by (sg, tile).
@@ -98,11 +107,15 @@ class RoutedTables:
     put: np.ndarray
     putv: np.ndarray
     kcol: np.ndarray
+    rposf: np.ndarray
+    rposb: np.ndarray
     src: np.ndarray
     hik: np.ndarray
     sg: np.ndarray
     tile: np.ndarray
     kmax: np.ndarray
+    sdf: np.ndarray
+    sdb: np.ndarray
     fwd_first: np.ndarray
     bwd_order: np.ndarray
     bwd_first: np.ndarray
@@ -129,7 +142,8 @@ class RoutedTables:
     def table_bytes(self) -> int:
         return sum(a.nbytes for a in (
             self.lvw, self.w, self.hi8, self.lp8, self.perm, self.put,
-            self.putv, self.kcol, self.src, self.hik))
+            self.putv, self.kcol, self.rposf, self.rposb, self.src,
+            self.hik))
 
     def pad_density(self, flat):
         import jax.numpy as jnp
@@ -310,6 +324,8 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     kcolt[rows, col] = k_of_run[run_id]
     kmax_c = np.zeros(NC, np.int32)
     np.maximum.at(kmax_c, chunk_of, k_of_run[run_id].astype(np.int32))
+    rposf_t = np.zeros((NR, LANES), np.int8)
+    rposf_t[rows, col] = _cumcount(run_id).astype(np.int8)
 
     # ---- backward permutation + placement -------------------------------
     porder = np.lexsort((col, f["lv"], rows))  # within row: by (lv, col)
@@ -327,6 +343,11 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     putv = np.zeros((NR, LANES), np.int8)
     put[rows_p[lastp], lv_p[lastp]] = ppos[lastp].astype(np.int8)
     putv[rows_p[lastp], lv_p[lastp]] = 1
+    runb_change = np.r_[True, (rows_p[1:] != rows_p[:-1])
+                        | (lv_p[1:] != lv_p[:-1])]
+    rposb_t = np.zeros((NR, LANES), np.int8)
+    rposb_t[rows_p, ppos] = _cumcount(np.cumsum(runb_change) - 1
+                                      ).astype(np.int8)
 
     # ---- scan-depth bounds ----------------------------------------------
     # forward: longest ray-run; backward: longest voxel-lane run
@@ -335,6 +356,9 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     runp_len = np.diff(np.r_[-1, ends_p]) if ends_p.size else np.array([1])
     scan_fwd = max(1, int(np.ceil(np.log2(max(1, run_len.max())))))
     scan_bwd = max(1, int(np.ceil(np.log2(max(1, runp_len.max())))))
+    sdf = _chunk_depths(chunk_of[ends] if ends.size else np.zeros(0, np.int64),
+                        run_len, NC)
+    sdb = _chunk_depths(rows_p[ends_p] // SR, runp_len, NC)
 
     # ---- backward chunk order -------------------------------------------
     bwd_order = np.lexsort((tile_c, sg_c)).astype(np.int32)
@@ -343,13 +367,23 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
 
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
-        kcol=kcolt, src=src, hik=hik, sg=sg_c, tile=tile_c, kmax=kmax_c,
+        kcol=kcolt, rposf=rposf_t, rposb=rposb_t,
+        src=src, hik=hik, sg=sg_c, tile=tile_c, kmax=kmax_c,
+        sdf=sdf, sdb=sdb,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
         n_rays=R, volume_size=volume_size, n_live=n_live,
         scan_fwd=scan_fwd, scan_bwd=scan_bwd,
     )
+
+
+def _chunk_depths(chunk_ids, lens, NC):
+    """Per-chunk ceil(log2(max run length)) (0 when all runs are length 1)."""
+    m = np.zeros(NC, np.int64)
+    if len(chunk_ids):
+        np.maximum.at(m, chunk_ids, lens)
+    return np.ceil(np.log2(np.maximum(m, 1))).astype(np.int32)
 
 
 def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
@@ -382,6 +416,15 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
     kcolt[rows, col] = k.astype(np.int8)
     kmax_c = np.zeros(NC, np.int32)
     np.maximum.at(kmax_c, na["chunk_of"], k.astype(np.int32))
+    rposf_t = np.zeros((NR, LANES), np.int8)
+    rposf_t[rows, col] = na["rposf"].astype(np.int8)
+    rposb_t = np.zeros((NR, LANES), np.int8)
+    rposb_t[rows, ppos] = na["rposb"].astype(np.int8)
+    # per-chunk scan depths from run lengths (rpos at run end + 1)
+    sdf = _chunk_depths(na["chunk_of"][ends],
+                        na["rposf"][ends].astype(np.int64) + 1, NC)
+    sdb = _chunk_depths(na["chunk_of"][lastp],
+                        na["rposb"][lastp].astype(np.int64) + 1, NC)
 
     perm = np.zeros((NR, LANES), np.int8)
     perm[:] = np.arange(LANES, dtype=np.int8)[None, :]
@@ -403,7 +446,9 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
 
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
-        kcol=kcolt, src=src, hik=hik, sg=sg_c, tile=tile_c, kmax=kmax_c,
+        kcol=kcolt, rposf=rposf_t, rposb=rposb_t,
+        src=src, hik=hik, sg=sg_c, tile=tile_c, kmax=kmax_c,
+        sdf=sdf, sdb=sdb,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
@@ -420,10 +465,12 @@ def _empty_tables(SR, KD, G, HI, T, H, R, volume_size):
         perm=np.broadcast_to(np.arange(LANES, dtype=np.int8),
                              (SR, LANES)).copy(),
         put=z8.copy(), putv=z8.copy(), kcol=z8.copy(),
+        rposf=z8.copy(), rposb=z8.copy(),
         src=np.zeros((KD, SR, LANES), np.int8),
         hik=np.full((KD, SR, LANES), -1, np.int8),
         sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
         kmax=np.zeros(1, np.int32),
+        sdf=np.zeros(1, np.int32), sdb=np.zeros(1, np.int32),
         fwd_first=np.ones(1, np.int32),
         bwd_order=np.zeros(1, np.int32), bwd_first=np.ones(1, np.int32),
         NC=1, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
@@ -462,10 +509,13 @@ def pad_chunks(rt: RoutedTables, multiple: int = 1024) -> RoutedTables:
         lp8=padrows(rt.lp8),
         perm=np.concatenate([rt.perm, perm_pad], axis=0),
         put=padrows(rt.put), putv=padrows(rt.putv), kcol=padrows(rt.kcol),
+        rposf=padrows(rt.rposf), rposb=padrows(rt.rposb),
         src=padk(rt.src, 0), hik=padk(rt.hik, -1),
         sg=np.concatenate([rt.sg, np.full(e, rt.H // SR - 1, np.int32)]),
         tile=np.concatenate([rt.tile, np.full(e, rt.T - 1, np.int32)]),
         kmax=np.concatenate([rt.kmax, np.zeros(e, np.int32)]),
+        sdf=np.concatenate([rt.sdf, np.zeros(e, np.int32)]),
+        sdb=np.concatenate([rt.sdb, np.zeros(e, np.int32)]),
         fwd_first=np.concatenate([rt.fwd_first, np.zeros(e, np.int32)]),
         bwd_order=np.concatenate(
             [rt.bwd_order, np.arange(NC, NCp, dtype=np.int32)]),

@@ -47,11 +47,15 @@ class DeviceTables(NamedTuple):
     put: jax.Array      # (NC·SR, L) int8
     putv: jax.Array     # (NC·SR, L) int8
     kcol: jax.Array     # (NC·SR, L) int8
+    rposf: jax.Array    # (NC·SR, L) int8
+    rposb: jax.Array    # (NC·SR, L) int8
     src: jax.Array      # (KD, NC·SR, L) int8
     hik: jax.Array      # (KD, NC·SR, L) int8
     sg: jax.Array       # (NC,) int32
     tile: jax.Array     # (NC,) int32
     kmax: jax.Array     # (NC,) int32
+    sdf: jax.Array      # (NC,) int32
+    sdb: jax.Array      # (NC,) int32
     fwd_first: jax.Array
     bwd_order: jax.Array
     bwd_first: jax.Array
@@ -78,9 +82,11 @@ def device_tables(rt: RoutedTables):
         hi8=jnp.asarray(rt.hi8), lp8=jnp.asarray(rt.lp8),
         perm=jnp.asarray(rt.perm), put=jnp.asarray(rt.put),
         putv=jnp.asarray(rt.putv), kcol=jnp.asarray(rt.kcol),
+        rposf=jnp.asarray(rt.rposf), rposb=jnp.asarray(rt.rposb),
         src=jnp.asarray(rt.src),
         hik=jnp.asarray(rt.hik), sg=jnp.asarray(rt.sg),
         tile=jnp.asarray(rt.tile), kmax=jnp.asarray(rt.kmax),
+        sdf=jnp.asarray(rt.sdf), sdb=jnp.asarray(rt.sdb),
         fwd_first=jnp.asarray(rt.fwd_first),
         bwd_order=jnp.asarray(rt.bwd_order),
         bwd_first=jnp.asarray(rt.bwd_first),
@@ -171,14 +177,15 @@ def routed_backproject_ref(dy, dt: DeviceTables, meta: RoutedMeta):
 # Pallas TPU kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
+def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False,
+                stage="full"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     NC, SR, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
 
-    def kernel(sg_ref, tile_ref, first_ref, kmax_ref, lvw_ref, w_ref,
-               hi_ref, lp_ref, src_ref, hik_ref, d2_ref, y_ref):
+    def kernel(sg_ref, tile_ref, first_ref, kmax_ref, sdf_ref, lvw_ref,
+               w_ref, rposf_ref, src_ref, hik_ref, d2_ref, y_ref, acc_scr):
         b = pl.program_id(0)
 
         @pl.when(first_ref[b] == 1)
@@ -191,18 +198,27 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
         W = d2_ref[:]
         wv = w_ref[:]
         F = jnp.take_along_axis(W, lvw_ref[:].astype(jnp.int32), axis=1) * wv
-        rkey = jnp.where(
-            wv > 0,
-            hi_ref[:].astype(jnp.int32) * LANES + lp_ref[:].astype(jnp.int32),
-            -1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
-        acc = F
+        if stage == "fetch":  # profiling-only truncated kernel
+            y_ref[0, 0, :] += jnp.sum(F, axis=0)
+            return
+        # segmented sum over ray-runs: the step-s mask is just
+        # rposf >= s (runs are contiguous, rposf = position in run), no
+        # key comparison needed; each step is skipped per chunk when the
+        # chunk's longest run (sdf scalar) doesn't reach it
+        rp = rposf_ref[:].astype(jnp.int32)
+        acc_scr[:] = F
+        sd = sdf_ref[b]
         for t in range(meta.scan_fwd):
-            s = 1 << t
-            acc_s = pltpu.roll(acc, s, 1)
-            key_s = pltpu.roll(rkey, s, 1)
-            ok = (lane >= s) & (key_s == rkey)
-            acc = acc + jnp.where(ok, acc_s, 0.0)
+
+            @pl.when(sd > t)
+            def _step(s=1 << t):
+                acc_scr[:] += jnp.where(
+                    rp >= s, pltpu.roll(acc_scr[:], s, 1), 0.0)
+
+        acc = acc_scr[:]
+        if stage == "scan":  # profiling-only truncated kernel
+            y_ref[0, 0, :] += jnp.sum(acc, axis=0)
+            return
 
         # run totals per pass (lane-gathers), then one masked row-sum per
         # output bucket h (folding the passes first saves (KD-1)·HI
@@ -231,27 +247,30 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False):
                     reduce_body(kd_eff)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # sg, tile, first, kmax
+        num_scalar_prefetch=5,  # sg, tile, first, kmax, sdf
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (b, 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f, km: (0, b, 0)),
-            pl.BlockSpec((KD, SR, LANES), lambda b, sg, t, f, km: (0, b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km: (sg[b], 0)),  # d2 window
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km, sd: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km, sd: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km, sd: (b, 0)),
+            pl.BlockSpec((KD, SR, LANES),
+                         lambda b, sg, t, f, km, sd: (0, b, 0)),
+            pl.BlockSpec((KD, SR, LANES),
+                         lambda b, sg, t, f, km, sd: (0, b, 0)),
+            pl.BlockSpec((SR, LANES),
+                         lambda b, sg, t, f, km, sd: (sg[b], 0)),  # d2 window
         ],
         out_specs=pl.BlockSpec((1, HI, LANES),
-                               lambda b, sg, t, f, km: (t[b], 0, 0)),
+                               lambda b, sg, t, f, km, sd: (t[b], 0, 0)),
+        scratch_shapes=[pltpu.VMEM((SR, LANES), d2.dtype)],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
         interpret=interpret,
-    )(dt.sg, dt.tile, dt.fwd_first, dt.kmax,
-      dt.lvw, dt.w, dt.hi8, dt.lp8, dt.src, dt.hik, d2)
+    )(dt.sg, dt.tile, dt.fwd_first, dt.kmax, dt.sdf,
+      dt.lvw, dt.w, dt.rposf, dt.src, dt.hik, d2)
 
 
 # "kpass-tree": KD lane-gathers, row-select as an HI-way select tree
@@ -263,36 +282,37 @@ BWD_G_FETCH = "kpass-tree"
 
 
 def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
-                g_fetch=None):
+                g_fetch=None, stage="full"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     NC, SR, KD, HI, H = meta.NC, meta.SR, meta.KD, meta.HI, meta.H
     g_fetch = BWD_G_FETCH if g_fetch is None else g_fetch
 
-    def tail(gw, lvw_ref, perm_ref, put_ref, putv_ref, out_ref):
+    def tail(gw, sd, rposb_ref, perm_ref, put_ref, putv_ref, out_ref,
+             t_scr):
         """Shared pipeline after the g-fetch: permute to voxel-lane-sorted
-        order, segment-sum per voxel run, place at the voxel lane."""
+        order, segment-sum per voxel run (rposb mask — runs are contiguous
+        after PERM; steps past the chunk's longest run are skipped via the
+        sdb scalar), place at the voxel lane."""
         perm = perm_ref[:].astype(jnp.int32)
-        gp = jnp.take_along_axis(gw, perm, axis=1)
-        key2 = jnp.take_along_axis(lvw_ref[:].astype(jnp.int32), perm,
-                                   axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (SR, LANES), 1)
-        acc = gp
+        t_scr[:] = jnp.take_along_axis(gw, perm, axis=1)
+        rp = rposb_ref[:].astype(jnp.int32)
         for t in range(meta.scan_bwd):
-            s = 1 << t
-            acc_s = pltpu.roll(acc, s, 1)
-            key_s = pltpu.roll(key2, s, 1)
-            ok = (lane >= s) & (key_s == key2)
-            acc = acc + jnp.where(ok, acc_s, 0.0)
-        placed = jnp.take_along_axis(acc, put_ref[:].astype(jnp.int32),
+
+            @pl.when(sd > t)
+            def _step(s=1 << t):
+                t_scr[:] += jnp.where(
+                    rp >= s, pltpu.roll(t_scr[:], s, 1), 0.0)
+
+        placed = jnp.take_along_axis(t_scr[:], put_ref[:].astype(jnp.int32),
                                      axis=1)
         placed = placed * putv_ref[:].astype(jnp.int32).astype(out_ref.dtype)
         out_ref[:] += placed
 
-    def kernel_hi(order_ref, sg_ref, first_ref, tile_ref, kmax_ref,
-                  lvw_ref, w_ref, hi_ref, lp_ref, perm_ref, put_ref,
-                  putv_ref, dy_ref, out_ref):
+    def kernel_hi(order_ref, sg_ref, first_ref, tile_ref, kmax_ref, sdb_ref,
+                  rposb_ref, w_ref, hi_ref, lp_ref, perm_ref, put_ref,
+                  putv_ref, dy_ref, out_ref, t_scr):
         b = pl.program_id(0)
 
         @pl.when(first_ref[b] == 1)
@@ -307,11 +327,13 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
                 jnp.broadcast_to(dy_ref[0, h, :][None, :], (SR, LANES)),
                 lp32, axis=1)
             g = jnp.where(hi32 == h, gh, g)
-        tail(g * w_ref[:], lvw_ref, perm_ref, put_ref, putv_ref, out_ref)
+        tail(g * w_ref[:], sdb_ref[b], rposb_ref, perm_ref, put_ref,
+             putv_ref, out_ref, t_scr)
 
     def kernel_kpass(order_ref, sg_ref, first_ref, tile_ref, kmax_ref,
-                     lvw_ref, w_ref, lp_ref, kcol_ref, hik_ref, perm_ref,
-                     put_ref, putv_ref, dy_ref, out_ref, g_scr):
+                     sdb_ref, rposb_ref, w_ref, lp_ref, kcol_ref, hik_ref,
+                     perm_ref, put_ref, putv_ref, dy_ref, out_ref, g_scr,
+                     t_scr):
         b = pl.program_id(0)
 
         @pl.when(first_ref[b] == 1)
@@ -338,7 +360,9 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
                 g = gc if kd_eff == 1 else jnp.where(kc == k, gc, g)
             g_scr[:] = g
 
-        if KD == 1:
+        if stage == "tail":  # profiling-only: skip the g-fetch
+            g_scr[:] = jnp.broadcast_to(dyt[0][None, :], (SR, LANES))
+        elif KD == 1:
             gfetch(1)
         else:
             km = kmax_ref[b]
@@ -349,43 +373,49 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
                 def _g(kd_eff=kd + 1):
                     gfetch(kd_eff)
 
-        tail(g_scr[:] * w_ref[:], lvw_ref, perm_ref, put_ref, putv_ref,
-             out_ref)
+        if stage == "gfetch":  # profiling-only: skip the tail
+            out_ref[:] += g_scr[:] * w_ref[:]
+            return
+        tail(g_scr[:] * w_ref[:], sdb_ref[b], rposb_ref, perm_ref, put_ref,
+             putv_ref, out_ref, t_scr)
 
-    col_spec = pl.BlockSpec((SR, LANES), lambda b, o, sg, f, t, km: (o[b], 0))
+    col_spec = pl.BlockSpec((SR, LANES),
+                            lambda b, o, sg, f, t, km, sd: (o[b], 0))
     dy_spec = pl.BlockSpec((1, HI, LANES),
-                           lambda b, o, sg, f, t, km: (t[b], 0, 0))
-    scratch = []
+                           lambda b, o, sg, f, t, km, sd: (t[b], 0, 0))
+    scratch = [pltpu.VMEM((SR, LANES), dy.dtype)]
     if g_fetch == "hi":
         kernel = kernel_hi
         in_specs = [col_spec] * 7 + [dy_spec]
-        tables = (dt.lvw, dt.w, dt.hi8, dt.lp8, dt.perm, dt.put, dt.putv, dy)
+        tables = (dt.rposb, dt.w, dt.hi8, dt.lp8, dt.perm, dt.put, dt.putv,
+                  dy)
     else:
         kernel = kernel_kpass
         hik_spec = pl.BlockSpec((KD, SR, LANES),
-                                lambda b, o, sg, f, t, km: (0, o[b], 0))
+                                lambda b, o, sg, f, t, km, sd: (0, o[b], 0))
         in_specs = [col_spec] * 4 + [hik_spec] + [col_spec] * 3 + [dy_spec]
-        tables = (dt.lvw, dt.w, dt.lp8, dt.kcol, dt.hik, dt.perm, dt.put,
+        tables = (dt.rposb, dt.w, dt.lp8, dt.kcol, dt.hik, dt.perm, dt.put,
                   dt.putv, dy)
-        scratch = [pltpu.VMEM((SR, LANES), dy.dtype)]
+        scratch = [pltpu.VMEM((SR, LANES), dy.dtype)] + scratch
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # order + sg/first/tile/kmax (bwd-ordered)
+        num_scalar_prefetch=6,  # order + sg/first/tile/kmax/sdb (bwd-ordered)
         grid=(NC,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((SR, LANES),
-                               lambda b, o, sg, f, t, km: (sg[b], 0)),
+                               lambda b, o, sg, f, t, km, sd: (sg[b], 0)),
         scratch_shapes=scratch,
     )
     sg_o = dt.sg[dt.bwd_order]
     tile_o = dt.tile[dt.bwd_order]
     km_o = dt.kmax[dt.bwd_order]
+    sdb_o = dt.sdb[dt.bwd_order]
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
         interpret=interpret,
-    )(dt.bwd_order, sg_o, dt.bwd_first, tile_o, km_o, *tables)
+    )(dt.bwd_order, sg_o, dt.bwd_first, tile_o, km_o, sdb_o, *tables)
 
 
 # ---------------------------------------------------------------------------

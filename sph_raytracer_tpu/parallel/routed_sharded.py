@@ -59,9 +59,10 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
             rt,
             lvw=rt.lvw[sl], w=rt.w[sl], hi8=rt.hi8[sl], lp8=rt.lp8[sl],
             perm=rt.perm[sl], put=rt.put[sl], putv=rt.putv[sl],
-            kcol=rt.kcol[sl], src=rt.src[:, sl], hik=rt.hik[:, sl],
+            kcol=rt.kcol[sl], rposf=rt.rposf[sl], rposb=rt.rposb[sl],
+            src=rt.src[:, sl], hik=rt.hik[:, sl],
             sg=rt.sg[lo:hi], tile=rt.tile[lo:hi] - d * tiles_per,
-            kmax=rt.kmax[lo:hi],
+            kmax=rt.kmax[lo:hi], sdf=rt.sdf[lo:hi], sdb=rt.sdb[lo:hi],
             fwd_first=_first_of(rt.tile[lo:hi]),
             bwd_order=np.zeros(max(hi - lo, 1), np.int32),
             bwd_first=np.zeros(max(hi - lo, 1), np.int32),
@@ -79,10 +80,13 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
                 put=np.zeros((rt.SR, LANES), np.int8),
                 putv=np.zeros((rt.SR, LANES), np.int8),
                 kcol=np.zeros((rt.SR, LANES), np.int8),
+                rposf=np.zeros((rt.SR, LANES), np.int8),
+                rposb=np.zeros((rt.SR, LANES), np.int8),
                 src=np.zeros((rt.KD, rt.SR, LANES), np.int8),
                 hik=np.full((rt.KD, rt.SR, LANES), -1, np.int8),
                 sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
                 kmax=np.zeros(1, np.int32),
+                sdf=np.zeros(1, np.int32), sdb=np.zeros(1, np.int32),
                 fwd_first=np.ones(1, np.int32), NC=1,
             )
         shards.append(shard)
@@ -100,8 +104,8 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
             s, bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32))
 
     fields = ("lvw", "w", "hi8", "lp8", "perm", "put", "putv", "kcol",
-              "src", "hik", "sg", "tile", "kmax", "fwd_first", "bwd_order",
-              "bwd_first")
+              "rposf", "rposb", "src", "hik", "sg", "tile", "kmax",
+              "sdf", "sdb", "fwd_first", "bwd_order", "bwd_first")
     stacked = {k: np.stack([getattr(s, k) for s in shards]) for k in fields}
     meta = RoutedMeta(NCp, rt.SR, rt.KD, rt.G, rt.HI, tiles_per, rt.H,
                       rt.n_rays, rt.volume_size, rt.scan_fwd, rt.scan_bwd)
@@ -202,7 +206,7 @@ def sharded_routed_project(mesh, tables: dict, meta: RoutedMeta, d2,
 
 def _tables_of(leaves):
     keys = ["bwd_first", "bwd_order", "fwd_first", "hi8", "hik", "kcol",
-            "kmax", "lp8", "lvw", "perm", "put", "putv", "sg", "src",
-            "tile", "w"]
+            "kmax", "lp8", "lvw", "perm", "put", "putv", "rposb", "rposf",
+            "sdb", "sdf", "sg", "src", "tile", "w"]
     d = dict(zip(keys, leaves))
     return DeviceTables(**d)

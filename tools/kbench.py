@@ -86,6 +86,19 @@ def main():
         d = np.abs(outs[ks[0]] - outs[k2]).max()
         print(f"[kbench] max|{ks[0]} - {k2}| = {d:.3e}", file=sys.stderr)
 
+    if os.environ.get("SPH_STAGES"):
+        d2 = op._rt.pad_density(density)
+        for st in ("fetch", "scan"):
+            f = jax.jit(functools.partial(
+                rp._fwd_pallas, meta=meta, stage=st))
+            t = time_fn(f, d2, op._dt)
+            print(f"[kbench] fwd[{st}] {t*1e3:.2f} ms", file=sys.stderr)
+        for st in ("gfetch", "tail"):
+            f = jax.jit(functools.partial(
+                rp._bwd_pallas, meta=meta, stage=st))
+            t = time_fn(f, yt, op._dt)
+            print(f"[kbench] bwd[{st}] {t*1e3:.2f} ms", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
