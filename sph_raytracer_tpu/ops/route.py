@@ -81,6 +81,10 @@ class RoutedTables:
               ``rposf >= s`` (no key comparison / extra roll per step).
         rposb: (NC·SR, L) int8 — same for the voxel-lane runs of the
               backward scan, stored at the *permuted* lane position.
+        wp/lp8p/kcolp: w/lp8/kcol stored at the permuted lane position:
+              the backward g-fetch reads these and produces g·w directly
+              in voxel-lane-sorted order, eliminating the PERM lane-gather
+              pass (dynamic gathers are the kernel's costliest unit).
     Per reduce pass k < KD:
         src:  (KD, NC·SR, L) int8 — run-end column per (row, lp).
         hik:  (KD, NC·SR, L) int8 — output bucket; -1 = dead slot.
@@ -109,6 +113,9 @@ class RoutedTables:
     kcol: np.ndarray
     rposf: np.ndarray
     rposb: np.ndarray
+    wp: np.ndarray
+    lp8p: np.ndarray
+    kcolp: np.ndarray
     src: np.ndarray
     hik: np.ndarray
     sg: np.ndarray
@@ -142,8 +149,8 @@ class RoutedTables:
     def table_bytes(self) -> int:
         return sum(a.nbytes for a in (
             self.lvw, self.w, self.hi8, self.lp8, self.perm, self.put,
-            self.putv, self.kcol, self.rposf, self.rposb, self.src,
-            self.hik))
+            self.putv, self.kcol, self.rposf, self.rposb, self.wp,
+            self.lp8p, self.kcolp, self.src, self.hik))
 
     def pad_density(self, flat):
         import jax.numpy as jnp
@@ -348,6 +355,12 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     rposb_t = np.zeros((NR, LANES), np.int8)
     rposb_t[rows_p, ppos] = _cumcount(np.cumsum(runb_change) - 1
                                       ).astype(np.int8)
+    wp = np.zeros((NR, LANES), np.float32)
+    wp[rows_p, ppos] = f["w"][porder]
+    lp8p = np.zeros((NR, LANES), np.int8)
+    lp8p[rows_p, ppos] = f["lp"][porder].astype(np.int8)
+    kcolp = np.zeros((NR, LANES), np.int8)
+    kcolp[rows_p, ppos] = k_of_run[run_id][porder].astype(np.int8)
 
     # ---- scan-depth bounds ----------------------------------------------
     # forward: longest ray-run; backward: longest voxel-lane run
@@ -368,6 +381,7 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
         kcol=kcolt, rposf=rposf_t, rposb=rposb_t,
+        wp=wp, lp8p=lp8p, kcolp=kcolp,
         src=src, hik=hik, sg=sg_c, tile=tile_c, kmax=kmax_c,
         sdf=sdf, sdb=sdb,
         fwd_first=fwd_first.astype(np.int32),
@@ -425,6 +439,12 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
                         na["rposf"][ends].astype(np.int64) + 1, NC)
     sdb = _chunk_depths(na["chunk_of"][lastp],
                         na["rposb"][lastp].astype(np.int64) + 1, NC)
+    wp = np.zeros((NR, LANES), np.float32)
+    wp[rows, ppos] = w
+    lp8p = np.zeros((NR, LANES), np.int8)
+    lp8p[rows, ppos] = lp.astype(np.int8)
+    kcolp = np.zeros((NR, LANES), np.int8)
+    kcolp[rows, ppos] = k.astype(np.int8)
 
     perm = np.zeros((NR, LANES), np.int8)
     perm[:] = np.arange(LANES, dtype=np.int8)[None, :]
@@ -447,6 +467,7 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
     return RoutedTables(
         lvw=lvw, w=wt, hi8=hi8, lp8=lp8, perm=perm, put=put, putv=putv,
         kcol=kcolt, rposf=rposf_t, rposb=rposb_t,
+        wp=wp, lp8p=lp8p, kcolp=kcolp,
         src=src, hik=hik, sg=sg_c, tile=tile_c, kmax=kmax_c,
         sdf=sdf, sdb=sdb,
         fwd_first=fwd_first.astype(np.int32),
@@ -466,6 +487,8 @@ def _empty_tables(SR, KD, G, HI, T, H, R, volume_size):
                              (SR, LANES)).copy(),
         put=z8.copy(), putv=z8.copy(), kcol=z8.copy(),
         rposf=z8.copy(), rposb=z8.copy(),
+        wp=np.zeros((SR, LANES), np.float32),
+        lp8p=z8.copy(), kcolp=z8.copy(),
         src=np.zeros((KD, SR, LANES), np.int8),
         hik=np.full((KD, SR, LANES), -1, np.int8),
         sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
@@ -510,6 +533,7 @@ def pad_chunks(rt: RoutedTables, multiple: int = 1024) -> RoutedTables:
         perm=np.concatenate([rt.perm, perm_pad], axis=0),
         put=padrows(rt.put), putv=padrows(rt.putv), kcol=padrows(rt.kcol),
         rposf=padrows(rt.rposf), rposb=padrows(rt.rposb),
+        wp=padrows(rt.wp), lp8p=padrows(rt.lp8p), kcolp=padrows(rt.kcolp),
         src=padk(rt.src, 0), hik=padk(rt.hik, -1),
         sg=np.concatenate([rt.sg, np.full(e, rt.H // SR - 1, np.int32)]),
         tile=np.concatenate([rt.tile, np.full(e, rt.T - 1, np.int32)]),

@@ -49,6 +49,9 @@ class DeviceTables(NamedTuple):
     kcol: jax.Array     # (NC·SR, L) int8
     rposf: jax.Array    # (NC·SR, L) int8
     rposb: jax.Array    # (NC·SR, L) int8
+    wp: jax.Array       # (NC·SR, L) f32  (w at permuted positions)
+    lp8p: jax.Array     # (NC·SR, L) int8 (lp8 at permuted positions)
+    kcolp: jax.Array    # (NC·SR, L) int8 (kcol at permuted positions)
     src: jax.Array      # (KD, NC·SR, L) int8
     hik: jax.Array      # (KD, NC·SR, L) int8
     sg: jax.Array       # (NC,) int32
@@ -83,6 +86,8 @@ def device_tables(rt: RoutedTables):
         perm=jnp.asarray(rt.perm), put=jnp.asarray(rt.put),
         putv=jnp.asarray(rt.putv), kcol=jnp.asarray(rt.kcol),
         rposf=jnp.asarray(rt.rposf), rposb=jnp.asarray(rt.rposb),
+        wp=jnp.asarray(rt.wp), lp8p=jnp.asarray(rt.lp8p),
+        kcolp=jnp.asarray(rt.kcolp),
         src=jnp.asarray(rt.src),
         hik=jnp.asarray(rt.hik), sg=jnp.asarray(rt.sg),
         tile=jnp.asarray(rt.tile), kmax=jnp.asarray(rt.kmax),
@@ -291,12 +296,16 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
 
     def tail(gw, sd, rposb_ref, perm_ref, put_ref, putv_ref, out_ref,
              t_scr):
-        """Shared pipeline after the g-fetch: permute to voxel-lane-sorted
-        order, segment-sum per voxel run (rposb mask — runs are contiguous
-        after PERM; steps past the chunk's longest run are skipped via the
-        sdb scalar), place at the voxel lane."""
-        perm = perm_ref[:].astype(jnp.int32)
-        t_scr[:] = jnp.take_along_axis(gw, perm, axis=1)
+        """Shared pipeline after the g-fetch: segment-sum per voxel run
+        (rposb mask — runs are contiguous in permuted order; steps past
+        the chunk's longest run are skipped via the sdb scalar), place at
+        the voxel lane.  ``perm_ref=None`` means gw already arrives in
+        permuted order (the kpass g-fetch reads permuted tables)."""
+        if perm_ref is None:
+            t_scr[:] = gw
+        else:
+            perm = perm_ref[:].astype(jnp.int32)
+            t_scr[:] = jnp.take_along_axis(gw, perm, axis=1)
         rp = rposb_ref[:].astype(jnp.int32)
         for t in range(meta.scan_bwd):
 
@@ -331,8 +340,8 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
              putv_ref, out_ref, t_scr)
 
     def kernel_kpass(order_ref, sg_ref, first_ref, tile_ref, kmax_ref,
-                     sdb_ref, rposb_ref, w_ref, lp_ref, kcol_ref, hik_ref,
-                     perm_ref, put_ref, putv_ref, dy_ref, out_ref, g_scr,
+                     sdb_ref, rposb_ref, wp_ref, lp8p_ref, kcolp_ref,
+                     hik_ref, put_ref, putv_ref, dy_ref, out_ref, g_scr,
                      t_scr):
         b = pl.program_id(0)
 
@@ -340,9 +349,12 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         def _init():
             out_ref[:] = jnp.zeros_like(out_ref)
 
+        # permuted-table g-fetch: lp/kcol/w are stored at permuted lane
+        # positions, so g·w comes out directly in voxel-lane-sorted order
+        # and the tail's PERM lane-gather disappears
         dyt = dy_ref[0]  # (HI, LANES)
-        lp32 = lp_ref[:].astype(jnp.int32)
-        kc = kcol_ref[:].astype(jnp.int32)
+        lp32 = lp8p_ref[:].astype(jnp.int32)
+        kc = kcolp_ref[:].astype(jnp.int32)
 
         def gfetch(kd_eff):
             g = jnp.zeros((SR, LANES), out_ref.dtype)
@@ -374,9 +386,9 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
                     gfetch(kd_eff)
 
         if stage == "gfetch":  # profiling-only: skip the tail
-            out_ref[:] += g_scr[:] * w_ref[:]
+            out_ref[:] += g_scr[:] * wp_ref[:]
             return
-        tail(g_scr[:] * w_ref[:], sdb_ref[b], rposb_ref, perm_ref, put_ref,
+        tail(g_scr[:] * wp_ref[:], sdb_ref[b], rposb_ref, None, put_ref,
              putv_ref, out_ref, t_scr)
 
     col_spec = pl.BlockSpec((SR, LANES),
@@ -393,8 +405,8 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         kernel = kernel_kpass
         hik_spec = pl.BlockSpec((KD, SR, LANES),
                                 lambda b, o, sg, f, t, km, sd: (0, o[b], 0))
-        in_specs = [col_spec] * 4 + [hik_spec] + [col_spec] * 3 + [dy_spec]
-        tables = (dt.rposb, dt.w, dt.lp8, dt.kcol, dt.hik, dt.perm, dt.put,
+        in_specs = [col_spec] * 4 + [hik_spec] + [col_spec] * 2 + [dy_spec]
+        tables = (dt.rposb, dt.wp, dt.lp8p, dt.kcolp, dt.hik, dt.put,
                   dt.putv, dy)
         scratch = [pltpu.VMEM((SR, LANES), dy.dtype)] + scratch
 

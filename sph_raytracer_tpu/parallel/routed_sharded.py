@@ -60,6 +60,7 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
             lvw=rt.lvw[sl], w=rt.w[sl], hi8=rt.hi8[sl], lp8=rt.lp8[sl],
             perm=rt.perm[sl], put=rt.put[sl], putv=rt.putv[sl],
             kcol=rt.kcol[sl], rposf=rt.rposf[sl], rposb=rt.rposb[sl],
+            wp=rt.wp[sl], lp8p=rt.lp8p[sl], kcolp=rt.kcolp[sl],
             src=rt.src[:, sl], hik=rt.hik[:, sl],
             sg=rt.sg[lo:hi], tile=rt.tile[lo:hi] - d * tiles_per,
             kmax=rt.kmax[lo:hi], sdf=rt.sdf[lo:hi], sdb=rt.sdb[lo:hi],
@@ -82,6 +83,9 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
                 kcol=np.zeros((rt.SR, LANES), np.int8),
                 rposf=np.zeros((rt.SR, LANES), np.int8),
                 rposb=np.zeros((rt.SR, LANES), np.int8),
+                wp=np.zeros((rt.SR, LANES), np.float32),
+                lp8p=np.zeros((rt.SR, LANES), np.int8),
+                kcolp=np.zeros((rt.SR, LANES), np.int8),
                 src=np.zeros((rt.KD, rt.SR, LANES), np.int8),
                 hik=np.full((rt.KD, rt.SR, LANES), -1, np.int8),
                 sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
@@ -104,8 +108,9 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
             s, bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32))
 
     fields = ("lvw", "w", "hi8", "lp8", "perm", "put", "putv", "kcol",
-              "rposf", "rposb", "src", "hik", "sg", "tile", "kmax",
-              "sdf", "sdb", "fwd_first", "bwd_order", "bwd_first")
+              "rposf", "rposb", "wp", "lp8p", "kcolp", "src", "hik", "sg",
+              "tile", "kmax", "sdf", "sdb", "fwd_first", "bwd_order",
+              "bwd_first")
     stacked = {k: np.stack([getattr(s, k) for s in shards]) for k in fields}
     meta = RoutedMeta(NCp, rt.SR, rt.KD, rt.G, rt.HI, tiles_per, rt.H,
                       rt.n_rays, rt.volume_size, rt.scan_fwd, rt.scan_bwd)
@@ -206,7 +211,7 @@ def sharded_routed_project(mesh, tables: dict, meta: RoutedMeta, d2,
 
 def _tables_of(leaves):
     keys = ["bwd_first", "bwd_order", "fwd_first", "hi8", "hik", "kcol",
-            "kmax", "lp8", "lvw", "perm", "put", "putv", "rposb", "rposf",
-            "sdb", "sdf", "sg", "src", "tile", "w"]
+            "kcolp", "kmax", "lp8", "lp8p", "lvw", "perm", "put", "putv",
+            "rposb", "rposf", "sdb", "sdf", "sg", "src", "tile", "w", "wp"]
     d = dict(zip(keys, leaves))
     return DeviceTables(**d)
