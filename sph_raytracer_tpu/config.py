@@ -60,6 +60,10 @@ class TraceConfig:
     routed_g: int = 2048
     routed_sr: int = 64
     routed_kd: int = 3
+    # band-compacted engine (TPU): SR=8 routing packed into B-band
+    # superchunks; only live density bands occupy table slots
+    routed_banded: bool = True
+    routed_bands: int = 8
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

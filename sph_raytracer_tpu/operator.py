@@ -133,15 +133,21 @@ class Operator:
         self.lin = self.lens = None
         self._routed = None
         if _compute and mode in ("precomputed", "routed"):
-            lin, lens, n, _ = self._traced_tables()
+            # routed mode consumes the tables on the HOST (the router is
+            # numpy); device copies would waste HBM + relay transfer time
+            lin, lens, n, _ = self._traced_tables(device=(mode != "routed"))
             lin, lens = lin[:n], lens[:n]
             if self._view_offsets is not None:
-                lin = lin + jnp.asarray(
-                    self._view_offsets.reshape(-1, 1), dtype=config.itype
-                )
+                off = self._view_offsets.reshape(-1, 1)
+                if isinstance(lin, np.ndarray):
+                    lin = (lin + off).astype(lin.dtype)
+                else:
+                    lin = lin + jnp.asarray(off, dtype=config.itype)
             self.lin, self.lens = lin, lens
             # keep the host mirror consistent (sliced + time offsets)
-            if getattr(self, "_lin_host", None) is not None:
+            if isinstance(lin, np.ndarray):
+                self._lin_host, self._lens_host = lin, lens
+            elif getattr(self, "_lin_host", None) is not None:
                 self._lin_host = self._lin_host[:n]
                 self._lens_host = self._lens_host[:n]
                 if self._view_offsets is not None:
@@ -169,13 +175,46 @@ class Operator:
             return None
         return jax.local_devices(backend=pd)[0]
 
-    def _traced_tables(self):
+    def _trace_cache_path(self):
+        """Opt-in on-disk cache for traced crossing tables
+        (``SPH_TPU_TRACE_CACHE=<dir>``): keyed by (grid, rays, dtypes)."""
+        import hashlib
+        import os
+
+        d = os.environ.get("SPH_TPU_TRACE_CACHE")
+        if not d:
+            return None
+        h = hashlib.sha256()
+        for a in self.gs.arrays():
+            h.update(np.asarray(a, np.float64).tobytes())
+        h.update(np.asarray(self._xs, np.float64).tobytes())
+        h.update(np.asarray(self._rays, np.float64).tobytes())
+        h.update(f"{self.config.ftype}/{self.config.itype}/v1".encode())
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"trace_{h.hexdigest()[:24]}.npz")
+
+    def _traced_tables(self, device: bool = True):
         import contextlib
         import os
         import time
 
         t0 = time.time()
         config = self.config
+        cache = self._trace_cache_path()
+        if cache and os.path.exists(cache):
+            z = np.load(cache)
+            self._lin_host, self._lens_host = z["lin"], z["lens"]
+            if os.environ.get("SPH_TPU_TIMING"):
+                import sys
+
+                print(f"[timing] trace cache hit {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+            if not device:
+                return (self._lin_host, self._lens_host,
+                        int(z["n"]), tuple(z["rs"]))
+            return (jax.device_put(self._lin_host),
+                    jax.device_put(self._lens_host),
+                    int(z["n"]), tuple(z["rs"]))
         dev = self._pdevice()
         ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
         with ctx:
@@ -185,13 +224,19 @@ class Operator:
                           _round_block(self._nrays)),
                 itype=config.itype,
             )
-            if dev is not None:
+            if dev is not None or cache or not device:
                 # stash host copies (the routed router consumes numpy; a
                 # device→host round-trip through a relay costs minutes)
                 self._lin_host = np.asarray(lin)
                 self._lens_host = np.asarray(lens)
-                lin = jax.device_put(self._lin_host)
-                lens = jax.device_put(self._lens_host)
+                if device:
+                    lin = jax.device_put(self._lin_host)
+                    lens = jax.device_put(self._lens_host)
+                else:
+                    lin, lens = self._lin_host, self._lens_host
+            if cache:
+                np.savez(cache, lin=self._lin_host, lens=self._lens_host,
+                         n=n, rs=np.asarray(rs))
         if os.environ.get("SPH_TPU_TIMING"):
             import sys
 
@@ -224,6 +269,10 @@ class Operator:
             print(f"[timing] table fetch {time.time() - t0:.1f}s",
                   file=sys.stderr)
         t0 = time.time()
+        use_pallas = jax.default_backend() == "tpu"
+        if use_pallas and cfg.routed_banded:
+            self._build_routed_banded(lin_h, lens_h, timing, t0)
+            return
         from .ops.route import pad_chunks
 
         rt = build_routed_tables(
@@ -237,14 +286,15 @@ class Operator:
                   f"(NC={rt.NC}, {rt.table_bytes / 1e9:.2f} GB)",
                   file=sys.stderr)
         t0 = time.time()
-        dt, meta = device_tables(rt)
+        # the Pallas kernels don't read hi8/lp8/kcol/perm — skip uploading
+        # them (4 bytes/slot of HBM); the CPU reference impl needs them
+        dt, meta = device_tables(rt, slim=use_pallas)
         if timing:
             import sys
 
             jax.block_until_ready(dt.w)
             print(f"[timing] upload {time.time() - t0:.1f}s", file=sys.stderr)
         self._rt, self._dt, self._rmeta = rt, dt, meta
-        use_pallas = jax.default_backend() == "tpu"
 
         @jax.jit
         def fwd_one(flat, dt):
@@ -266,6 +316,65 @@ class Operator:
             d2 = (_bwd_pallas(yt, dt, meta) if use_pallas
                   else routed_backproject_ref(yt, dt, meta))
             return rt.unpad_density(d2)
+
+        self._routed = fwd_one
+        self._routed_adj = adj_one
+
+    def _build_routed_banded(self, lin_h, lens_h, timing, t0):
+        """Band-compacted routed engine: SR=8 routing + band_pack (see
+        route.BandedTables) — only live 8-row density bands occupy table
+        slots (~2x fewer slots than the window layout on the flagship)."""
+        import time
+
+        from .ops.route import band_pack, build_routed_tables
+        from .ops.routed_project import (
+            _bwd_banded_pallas,
+            banded_device_bwd,
+            banded_device_fwd,
+            banded_project,
+        )
+
+        cfg = self.config
+        B = cfg.routed_bands
+        rt8 = build_routed_tables(
+            lin_h, lens_h, self._flat_size,
+            G=cfg.routed_g, SR=8, KD=cfg.routed_kd)
+        btF = band_pack(rt8, B=B, by="tile")
+        btB = band_pack(rt8, B=B, by="window")
+        if timing:
+            import sys
+
+            print(f"[timing] router {time.time() - t0:.1f}s "
+                  f"(NCB={btF.NCB}/{btB.NCB}, "
+                  f"{(btF.table_bytes + btB.table_bytes) / 1e9:.2f} GB "
+                  f"banded)", file=sys.stderr)
+        t0 = time.time()
+        ft, meta = banded_device_fwd(btF)
+        btd, metab = banded_device_bwd(btB)
+        if timing:
+            import sys
+
+            jax.block_until_ready(ft.w)
+            print(f"[timing] upload {time.time() - t0:.1f}s", file=sys.stderr)
+        self._rt, self._dt, self._rmeta = btF, (ft, btd), meta
+        self._rmeta_bwd = metab
+
+        @jax.jit
+        def fwd_one(flat, dt):
+            ft, btd = dt
+            d2 = btF.pad_density(flat)
+            y = banded_project(d2, ft, btd, meta, B)
+            return y.reshape(-1)[: meta.n_rays]
+
+        @jax.jit
+        def adj_one(yf, dt):
+            _, btd = dt
+            pad = meta.T * meta.G - yf.shape[0]
+            yt = jnp.concatenate(
+                [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
+                    meta.T, meta.HI, 128)
+            d2 = _bwd_banded_pallas(yt, btd, metab, B)
+            return btF.unpad_density(d2)
 
         self._routed = fwd_one
         self._routed_adj = adj_one

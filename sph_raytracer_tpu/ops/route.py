@@ -43,6 +43,16 @@ different passes k; >KD collisions or >128 columns spill to another rep
 of the same window.  Ray-runs may split across reps freely (each split
 gets its own reduce slot; sums recombine in ``y``).
 
+Band compaction (:func:`band_pack`): the fixed window-per-chunk layout
+leaves most rows dead (crossings concentrate in few density rows per
+tile — 78% dead rows on the flagship config).  Routing at SR=8 makes
+each chunk one live 8-row *band*, and ``band_pack`` stacks B bands into
+(8·B, 128) superchunks — grouped by tile for the forward (one y block,
+per-band density-window pointers feed B separate BlockSpecs) and by
+window for the backward (one dD2 block, per-band dy-tile pointers) — so
+per-grid-step overhead stays at the big-chunk level while the slot count
+halves.  Measured v5e flagship: fwd 9.0→5.9 ms, bwd 11.9→6.3 ms.
+
 Everything here is vectorized numpy running once per Operator.
 """
 from __future__ import annotations
@@ -53,7 +63,8 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["RoutedTables", "build_routed_tables", "pad_chunks", "LANES", "SUBLANES"]
+__all__ = ["RoutedTables", "BandedTables", "build_routed_tables",
+           "band_pack", "pad_chunks", "LANES", "SUBLANES"]
 
 LANES = 128
 SUBLANES = 8
@@ -545,4 +556,155 @@ def pad_chunks(rt: RoutedTables, multiple: int = 1024) -> RoutedTables:
             [rt.bwd_order, np.arange(NC, NCp, dtype=np.int32)]),
         bwd_first=np.concatenate([rt.bwd_first, np.zeros(e, np.int32)]),
         NC=NCp,
+    )
+
+
+@dataclasses.dataclass
+class BandedTables:
+    """Band-compacted view of SR=8 routed tables (see :func:`band_pack`).
+
+    A *band* is one SR=8 chunk: (tile, 8 consecutive density rows, rep).
+    Superchunks stack ``B`` bands of the same tile into an (8·B, 128) slot
+    grid; each band keeps its own density-window pointer ``bp``, so only
+    bands that actually contain crossings occupy table rows (the fixed
+    window-per-chunk layout leaves ~78% of rows dead on the flagship
+    config — band packing halves the slot count at equal chunk count).
+    """
+
+    # per-column tables, (NCB·8·B, LANES)
+    lvw: np.ndarray
+    w: np.ndarray
+    rposf: np.ndarray
+    src: np.ndarray     # (KD, NCB·8·B, LANES)
+    hik: np.ndarray
+    # backward tables (same slot grid)
+    wp: np.ndarray
+    lp8p: np.ndarray
+    kcolp: np.ndarray
+    rposb: np.ndarray
+    put: np.ndarray
+    putv: np.ndarray
+    # per-superchunk scalars
+    by: str             # "tile" (fwd grouping) or "window" (bwd grouping)
+    keyp: np.ndarray    # (NCB,) int32 — the shared block pointer: tile id
+                        # (fwd: y block) or window id (bwd: out block)
+    bp: np.ndarray      # (B, NCB) int32 — per-band other pointer: density
+                        # window (fwd) or dy tile (bwd)
+    kmax: np.ndarray    # (NCB,) int32
+    sdf: np.ndarray
+    sdb: np.ndarray
+    first: np.ndarray   # (NCB,) int32 — 1 at the first superchunk of keyp
+    NCB: int
+    B: int
+    KD: int
+    G: int
+    HI: int
+    T: int
+    H: int              # density rows (multiple of 8)
+    n_rays: int
+    volume_size: int
+    scan_fwd: int
+    scan_bwd: int
+
+    @property
+    def d2_shape(self):
+        return (self.H, LANES)
+
+    @property
+    def table_bytes(self) -> int:
+        return sum(a.nbytes for a in (
+            self.lvw, self.w, self.rposf, self.src, self.hik, self.wp,
+            self.lp8p, self.kcolp, self.rposb, self.put, self.putv))
+
+    def pad_density(self, flat):
+        import jax.numpy as jnp
+
+        lead = flat.shape[:-1]
+        pad = self.H * LANES - flat.shape[-1]
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((*lead, pad), flat.dtype)], axis=-1)
+        return flat.reshape(*lead, self.H, LANES)
+
+    def unpad_density(self, d2):
+        lead = d2.shape[:-2]
+        return d2.reshape(*lead, self.H * LANES)[..., : self.volume_size]
+
+
+def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
+              chunk_multiple: int = 1024) -> BandedTables:
+    """Pack SR=8 routed chunks ("bands") into B-band superchunks.
+
+    ``by="tile"`` (forward): bands grouped per tile — the superchunk's y
+    output block is one tile; each band carries its own density-window
+    pointer (``bp``).  ``by="window"`` (backward): bands grouped per
+    density window — the superchunk's dD2 output block is one window;
+    each band carries its own dy-tile pointer.  Each group's band count is
+    padded to a B multiple with dummy bands (zero tables, pointer 0).
+    """
+    assert rt.SR == SUBLANES, "band_pack expects SR=8 tables"
+    NC = rt.NC
+    if by == "tile":
+        order = np.arange(NC)
+        key = rt.tile
+        nkeys = rt.T
+    else:
+        order = rt.bwd_order.astype(np.int64)
+        key = rt.sg[order]
+        nkeys = rt.H // SUBLANES
+    counts = np.bincount(key, minlength=nkeys)
+    padded = -(-counts // B) * B
+    NCB = int(padded.sum()) // B
+    NCBp = _round_up(max(NCB, 1), chunk_multiple)
+
+    # source band id per packed slot (-1 = dummy)
+    nslots = NCBp * B
+    srcband = np.full(nslots, -1, np.int64)
+    key_of_slot = np.zeros(nslots, np.int64)
+    pos = 0
+    start = 0
+    for t in range(nkeys):
+        c = int(counts[t])
+        srcband[pos: pos + c] = order[start: start + c]
+        key_of_slot[pos: pos + padded[t]] = t
+        pos += int(padded[t])
+        start += c
+    key_of_slot[pos:] = int(key_of_slot[max(pos - 1, 0)])  # grid padding
+
+    dummy = srcband < 0
+    sb = np.where(dummy, 0, srcband)
+
+    def rows(a, fill=0):
+        """Gather an (NC·8, L) per-column table into packed band order."""
+        v = a.reshape(NC, SUBLANES, LANES)[sb]
+        v = np.where(dummy[:, None, None], fill, v)
+        return v.reshape(nslots * SUBLANES, LANES)
+
+    def rowsk(a, fill):
+        v = a.reshape(a.shape[0], NC, SUBLANES, LANES)[:, sb]
+        v = np.where(dummy[None, :, None, None], fill, v)
+        return v.reshape(a.shape[0], nslots * SUBLANES, LANES)
+
+    # sb holds original chunk ids, so index the unpermuted per-chunk arrays
+    otherp = np.where(dummy, 0, (rt.sg if by == "tile" else rt.tile)[sb])
+    bp = otherp.reshape(NCBp, B).T.astype(np.int32)
+    keyp = key_of_slot.reshape(NCBp, B)[:, 0].astype(np.int32)
+    first = np.r_[1, (keyp[1:] != keyp[:-1]).astype(np.int32)]
+    # grid-padding superchunks repeat the last key: never "first"
+    if pos < nslots and NCB > 0:
+        first[NCB:] = 0
+    kmax_b = np.where(dummy, 0, rt.kmax[sb]).reshape(NCBp, B).max(axis=1)
+    sdf_b = np.where(dummy, 0, rt.sdf[sb]).reshape(NCBp, B).max(axis=1)
+    sdb_b = np.where(dummy, 0, rt.sdb[sb]).reshape(NCBp, B).max(axis=1)
+
+    return BandedTables(
+        lvw=rows(rt.lvw), w=rows(rt.w), rposf=rows(rt.rposf),
+        src=rowsk(rt.src, 0), hik=rowsk(rt.hik, -1),
+        wp=rows(rt.wp), lp8p=rows(rt.lp8p), kcolp=rows(rt.kcolp),
+        rposb=rows(rt.rposb), put=rows(rt.put), putv=rows(rt.putv),
+        by=by, keyp=keyp, bp=bp, kmax=kmax_b.astype(np.int32),
+        sdf=sdf_b.astype(np.int32), sdb=sdb_b.astype(np.int32),
+        first=first.astype(np.int32),
+        NCB=NCBp, B=B, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T, H=rt.H,
+        n_rays=rt.n_rays, volume_size=rt.volume_size,
+        scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,
     )

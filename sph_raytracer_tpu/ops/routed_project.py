@@ -78,13 +78,24 @@ class RoutedMeta(NamedTuple):
     scan_bwd: int = 7
 
 
-def device_tables(rt: RoutedTables):
-    """Upload routing tables; returns (DeviceTables, RoutedMeta)."""
+def device_tables(rt: RoutedTables, slim: bool = False):
+    """Upload routing tables; returns (DeviceTables, RoutedMeta).
+
+    ``slim=True`` replaces the tables only the legacy 'hi' kernel and the
+    jnp reference implementation read (hi8, lp8, kcol, perm) with 1-row
+    dummies — 4 bytes/slot of HBM saved on the default Pallas path."""
+    import numpy as np
+
+    z = np.zeros((1, LANES), np.int8)
+
+    def tbl(a):
+        return jnp.asarray(z if slim else a)
+
     dt = DeviceTables(
         lvw=jnp.asarray(rt.lvw), w=jnp.asarray(rt.w),
-        hi8=jnp.asarray(rt.hi8), lp8=jnp.asarray(rt.lp8),
-        perm=jnp.asarray(rt.perm), put=jnp.asarray(rt.put),
-        putv=jnp.asarray(rt.putv), kcol=jnp.asarray(rt.kcol),
+        hi8=tbl(rt.hi8), lp8=tbl(rt.lp8),
+        perm=tbl(rt.perm), put=jnp.asarray(rt.put),
+        putv=jnp.asarray(rt.putv), kcol=tbl(rt.kcol),
         rposf=jnp.asarray(rt.rposf), rposb=jnp.asarray(rt.rposb),
         wp=jnp.asarray(rt.wp), lp8p=jnp.asarray(rt.lp8p),
         kcolp=jnp.asarray(rt.kcolp),
@@ -189,11 +200,15 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False,
 
     NC, SR, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
 
-    def kernel(sg_ref, tile_ref, first_ref, kmax_ref, sdf_ref, lvw_ref,
+    # per-chunk scalars are bit-packed: SMEM holds the whole prefetch
+    # arrays, and at small SR the chunk count makes five separate int32
+    # arrays overflow the ~1MB SMEM budget
+    def kernel(p1_ref, p2_ref, lvw_ref,
                w_ref, rposf_ref, src_ref, hik_ref, d2_ref, y_ref, acc_scr):
         b = pl.program_id(0)
+        p2 = p2_ref[b]
 
-        @pl.when(first_ref[b] == 1)
+        @pl.when((p2 & 0xF) == 1)  # first chunk of the tile
         def _init():
             y_ref[:] = jnp.zeros_like(y_ref)
 
@@ -212,7 +227,7 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         # chunk's longest run (sdf scalar) doesn't reach it
         rp = rposf_ref[:].astype(jnp.int32)
         acc_scr[:] = F
-        sd = sdf_ref[b]
+        sd = (p2 >> 8) & 0xF
         for t in range(meta.scan_fwd):
 
             @pl.when(sd > t)
@@ -243,7 +258,7 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         if KD == 1:
             reduce_body(1)
         else:
-            km = kmax_ref[b]
+            km = (p2 >> 4) & 0xF
             for kd in range(KD):
                 cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
 
@@ -251,22 +266,24 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False,
                 def _red(kd_eff=kd + 1):
                     reduce_body(kd_eff)
 
+    p1 = (dt.sg.astype(jnp.int32) << 16) | dt.tile.astype(jnp.int32)
+    p2 = (dt.fwd_first.astype(jnp.int32)
+          | (dt.kmax.astype(jnp.int32) << 4)
+          | (dt.sdf.astype(jnp.int32) << 8))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # sg, tile, first, kmax, sdf
+        num_scalar_prefetch=2,  # packed sg|tile, first|kmax|sdf
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km, sd: (b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km, sd: (b, 0)),
-            pl.BlockSpec((SR, LANES), lambda b, sg, t, f, km, sd: (b, 0)),
-            pl.BlockSpec((KD, SR, LANES),
-                         lambda b, sg, t, f, km, sd: (0, b, 0)),
-            pl.BlockSpec((KD, SR, LANES),
-                         lambda b, sg, t, f, km, sd: (0, b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, p1, p2: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, p1, p2: (b, 0)),
+            pl.BlockSpec((SR, LANES), lambda b, p1, p2: (b, 0)),
+            pl.BlockSpec((KD, SR, LANES), lambda b, p1, p2: (0, b, 0)),
+            pl.BlockSpec((KD, SR, LANES), lambda b, p1, p2: (0, b, 0)),
             pl.BlockSpec((SR, LANES),
-                         lambda b, sg, t, f, km, sd: (sg[b], 0)),  # d2 window
+                         lambda b, p1, p2: (p1[b] >> 16, 0)),  # d2 window
         ],
         out_specs=pl.BlockSpec((1, HI, LANES),
-                               lambda b, sg, t, f, km, sd: (t[b], 0, 0)),
+                               lambda b, p1, p2: (p1[b] & 0xFFFF, 0, 0)),
         scratch_shapes=[pltpu.VMEM((SR, LANES), d2.dtype)],
     )
     return pl.pallas_call(
@@ -274,8 +291,7 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
         interpret=interpret,
-    )(dt.sg, dt.tile, dt.fwd_first, dt.kmax, dt.sdf,
-      dt.lvw, dt.w, dt.rposf, dt.src, dt.hik, d2)
+    )(p1, p2, dt.lvw, dt.w, dt.rposf, dt.src, dt.hik, d2)
 
 
 # "kpass-tree": KD lane-gathers, row-select as an HI-way select tree
@@ -319,12 +335,13 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         placed = placed * putv_ref[:].astype(jnp.int32).astype(out_ref.dtype)
         out_ref[:] += placed
 
-    def kernel_hi(order_ref, sg_ref, first_ref, tile_ref, kmax_ref, sdb_ref,
+    def kernel_hi(order_ref, p1_ref, p2_ref,
                   rposb_ref, w_ref, hi_ref, lp_ref, perm_ref, put_ref,
                   putv_ref, dy_ref, out_ref, t_scr):
         b = pl.program_id(0)
+        p2 = p2_ref[b]
 
-        @pl.when(first_ref[b] == 1)
+        @pl.when((p2 & 0xF) == 1)
         def _init():
             out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -336,16 +353,17 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
                 jnp.broadcast_to(dy_ref[0, h, :][None, :], (SR, LANES)),
                 lp32, axis=1)
             g = jnp.where(hi32 == h, gh, g)
-        tail(g * w_ref[:], sdb_ref[b], rposb_ref, perm_ref, put_ref,
+        tail(g * w_ref[:], (p2 >> 8) & 0xF, rposb_ref, perm_ref, put_ref,
              putv_ref, out_ref, t_scr)
 
-    def kernel_kpass(order_ref, sg_ref, first_ref, tile_ref, kmax_ref,
-                     sdb_ref, rposb_ref, wp_ref, lp8p_ref, kcolp_ref,
+    def kernel_kpass(order_ref, p1_ref, p2_ref,
+                     rposb_ref, wp_ref, lp8p_ref, kcolp_ref,
                      hik_ref, put_ref, putv_ref, dy_ref, out_ref, g_scr,
                      t_scr):
         b = pl.program_id(0)
+        p2 = p2_ref[b]
 
-        @pl.when(first_ref[b] == 1)
+        @pl.when((p2 & 0xF) == 1)
         def _init():
             out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -377,7 +395,7 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         elif KD == 1:
             gfetch(1)
         else:
-            km = kmax_ref[b]
+            km = (p2 >> 4) & 0xF
             for kd in range(KD):
                 cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
 
@@ -388,13 +406,13 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
         if stage == "gfetch":  # profiling-only: skip the tail
             out_ref[:] += g_scr[:] * wp_ref[:]
             return
-        tail(g_scr[:] * wp_ref[:], sdb_ref[b], rposb_ref, None, put_ref,
-             putv_ref, out_ref, t_scr)
+        tail(g_scr[:] * wp_ref[:], (p2 >> 8) & 0xF, rposb_ref, None,
+             put_ref, putv_ref, out_ref, t_scr)
 
     col_spec = pl.BlockSpec((SR, LANES),
-                            lambda b, o, sg, f, t, km, sd: (o[b], 0))
+                            lambda b, o, p1, p2: (o[b], 0))
     dy_spec = pl.BlockSpec((1, HI, LANES),
-                           lambda b, o, sg, f, t, km, sd: (t[b], 0, 0))
+                           lambda b, o, p1, p2: (p1[b] & 0xFFFF, 0, 0))
     scratch = [pltpu.VMEM((SR, LANES), dy.dtype)]
     if g_fetch == "hi":
         kernel = kernel_hi
@@ -404,30 +422,31 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
     else:
         kernel = kernel_kpass
         hik_spec = pl.BlockSpec((KD, SR, LANES),
-                                lambda b, o, sg, f, t, km, sd: (0, o[b], 0))
+                                lambda b, o, p1, p2: (0, o[b], 0))
         in_specs = [col_spec] * 4 + [hik_spec] + [col_spec] * 2 + [dy_spec]
         tables = (dt.rposb, dt.wp, dt.lp8p, dt.kcolp, dt.hik, dt.put,
                   dt.putv, dy)
         scratch = [pltpu.VMEM((SR, LANES), dy.dtype)] + scratch
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,  # order + sg/first/tile/kmax/sdb (bwd-ordered)
+        num_scalar_prefetch=3,  # order + packed sg|tile + first|kmax|sdb
         grid=(NC,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((SR, LANES),
-                               lambda b, o, sg, f, t, km, sd: (sg[b], 0)),
+                               lambda b, o, p1, p2: (p1[b] >> 16, 0)),
         scratch_shapes=scratch,
     )
-    sg_o = dt.sg[dt.bwd_order]
-    tile_o = dt.tile[dt.bwd_order]
-    km_o = dt.kmax[dt.bwd_order]
-    sdb_o = dt.sdb[dt.bwd_order]
+    p1 = ((dt.sg.astype(jnp.int32) << 16)
+          | dt.tile.astype(jnp.int32))[dt.bwd_order]
+    p2 = (dt.bwd_first.astype(jnp.int32)
+          | (dt.kmax.astype(jnp.int32) << 4)[dt.bwd_order]
+          | (dt.sdb.astype(jnp.int32) << 8)[dt.bwd_order])
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
         interpret=interpret,
-    )(dt.bwd_order, sg_o, dt.bwd_first, tile_o, km_o, sdb_o, *tables)
+    )(dt.bwd_order, p1, p2, *tables)
 
 
 # ---------------------------------------------------------------------------
@@ -456,3 +475,254 @@ def _rp_bwd(meta, use_pallas, dt, dy):
 
 
 routed_project.defvjp(_rp_fwd, _rp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# band-compacted kernels (see route.band_pack): same math on a slot grid
+# holding only live 8-row bands — ~2x fewer slots at equal superchunk size
+# ---------------------------------------------------------------------------
+
+class BandedDeviceFwd(NamedTuple):
+    lvw: jax.Array      # (NCB·8B, L) int8
+    w: jax.Array        # (NCB·8B, L) f32
+    rposf: jax.Array    # (NCB·8B, L) int8
+    src: jax.Array      # (KD, NCB·8B, L) int8
+    hik: jax.Array      # (KD, NCB·8B, L) int8
+    bp: jax.Array       # (B, NCB) int32 — density-window pointer per band
+    p2: jax.Array       # (NCB,) int32 — first | kmax<<4 | sdf<<8 | tile<<16
+
+
+class BandedDeviceBwd(NamedTuple):
+    rposb: jax.Array
+    wp: jax.Array
+    lp8p: jax.Array
+    kcolp: jax.Array
+    hik: jax.Array
+    put: jax.Array
+    putv: jax.Array
+    bp: jax.Array       # (B, NCB) int32 — dy tile pointer per band
+    p2: jax.Array       # (NCB,) int32 — first | kmax<<4 | sdb<<8 | window<<16
+
+
+def banded_device_fwd(bt):
+    """Upload forward band tables (bt = band_pack(rt8, by='tile'))."""
+    assert bt.by == "tile"
+    p2 = (bt.first.astype(np.int32)
+          | (bt.kmax.astype(np.int32) << 4)
+          | (bt.sdf.astype(np.int32) << 8)
+          | (bt.keyp.astype(np.int32) << 16))
+    ft = BandedDeviceFwd(
+        lvw=jnp.asarray(bt.lvw), w=jnp.asarray(bt.w),
+        rposf=jnp.asarray(bt.rposf), src=jnp.asarray(bt.src),
+        hik=jnp.asarray(bt.hik), bp=jnp.asarray(bt.bp),
+        p2=jnp.asarray(p2))
+    meta = RoutedMeta(bt.NCB, 8 * bt.B, bt.KD, bt.G, bt.HI, bt.T, bt.H,
+                      bt.n_rays, bt.volume_size, bt.scan_fwd, bt.scan_bwd)
+    return ft, meta
+
+
+def banded_device_bwd(bt):
+    """Upload backward band tables (bt = band_pack(rt8, by='window'))."""
+    assert bt.by == "window"
+    p2 = (bt.first.astype(np.int32)
+          | (bt.kmax.astype(np.int32) << 4)
+          | (bt.sdb.astype(np.int32) << 8)
+          | (bt.keyp.astype(np.int32) << 16))
+    btd = BandedDeviceBwd(
+        rposb=jnp.asarray(bt.rposb), wp=jnp.asarray(bt.wp),
+        lp8p=jnp.asarray(bt.lp8p), kcolp=jnp.asarray(bt.kcolp),
+        hik=jnp.asarray(bt.hik), put=jnp.asarray(bt.put),
+        putv=jnp.asarray(bt.putv), bp=jnp.asarray(bt.bp),
+        p2=jnp.asarray(p2))
+    meta = RoutedMeta(bt.NCB, 8 * bt.B, bt.KD, bt.G, bt.HI, bt.T, bt.H,
+                      bt.n_rays, bt.volume_size, bt.scan_fwd, bt.scan_bwd)
+    return btd, meta
+
+
+def _fwd_banded_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta, B: int,
+                       interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NCB, SRB, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
+
+    def kernel(bp_ref, p2_ref, lvw_ref, w_ref, rposf_ref, src_ref, hik_ref,
+               *rest):
+        d2refs = rest[:B]
+        y_ref = rest[B]
+        acc_scr = rest[B + 1]
+        b = pl.program_id(0)
+        p2 = p2_ref[b]
+
+        @pl.when((p2 & 0xF) == 1)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        W = jnp.concatenate([r[:] for r in d2refs], axis=0)  # (SRB, L)
+        wv = w_ref[:]
+        F = jnp.take_along_axis(W, lvw_ref[:].astype(jnp.int32), axis=1) * wv
+        rp = rposf_ref[:].astype(jnp.int32)
+        acc_scr[:] = F
+        sd = (p2 >> 8) & 0xF
+        for t in range(meta.scan_fwd):
+
+            @pl.when(sd > t)
+            def _step(s=1 << t):
+                acc_scr[:] += jnp.where(
+                    rp >= s, pltpu.roll(acc_scr[:], s, 1), 0.0)
+
+        acc = acc_scr[:]
+
+        def reduce_body(kd_eff):
+            Rks = [jnp.take_along_axis(acc, src_ref[k].astype(jnp.int32),
+                                       axis=1)
+                   for k in range(kd_eff)]
+            hiks = [hik_ref[k].astype(jnp.int32) for k in range(kd_eff)]
+            for h in range(HI):
+                z = jnp.where(hiks[0] == h, Rks[0], 0.0)
+                for k in range(1, kd_eff):
+                    z = z + jnp.where(hiks[k] == h, Rks[k], 0.0)
+                y_ref[0, h, :] += jnp.sum(z, axis=0)
+
+        if KD == 1:
+            reduce_body(1)
+        else:
+            km = (p2 >> 4) & 0xF
+            for kd in range(KD):
+                cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
+
+                @pl.when(cond)
+                def _red(kd_eff=kd + 1):
+                    reduce_body(kd_eff)
+
+    col = pl.BlockSpec((SRB, LANES), lambda b, bp, p2: (b, 0))
+    colk = pl.BlockSpec((KD, SRB, LANES), lambda b, bp, p2: (0, b, 0))
+
+    def band_spec(k):
+        return pl.BlockSpec((8, LANES), lambda b, bp, p2, k=k: (bp[k, b], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # bp (B, NCB), packed p2
+        grid=(NCB,),
+        in_specs=[col, col, col, colk, colk]
+        + [band_spec(k) for k in range(B)],
+        out_specs=pl.BlockSpec((1, HI, LANES),
+                               lambda b, bp, p2: (p2[b] >> 16, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((SRB, LANES), d2.dtype)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
+        interpret=interpret,
+    )(ft.bp, ft.p2, ft.lvw, ft.w, ft.rposf, ft.src, ft.hik, *([d2] * B))
+
+
+def _bwd_banded_pallas(dy, btd: BandedDeviceBwd, meta: RoutedMeta, B: int,
+                       interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NCB, SRB, KD, HI, H = meta.NC, meta.SR, meta.KD, meta.HI, meta.H
+
+    def kernel(bp_ref, p2_ref, rposb_ref, wp_ref, lp8p_ref, kcolp_ref,
+               hik_ref, put_ref, putv_ref, *rest):
+        dyrefs = rest[:B]
+        out_ref = rest[B]
+        g_scr = rest[B + 1]
+        t_scr = rest[B + 2]
+        b = pl.program_id(0)
+        p2 = p2_ref[b]
+
+        @pl.when((p2 & 0xF) == 1)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        lp32 = lp8p_ref[:].astype(jnp.int32)
+        kc = kcolp_ref[:].astype(jnp.int32)
+
+        def gfetch(kd_eff):
+            g = jnp.zeros((SRB, LANES), out_ref.dtype)
+            for k in range(kd_eff):
+                hv = jnp.clip(hik_ref[k].astype(jnp.int32), 0, HI - 1)
+                parts = []
+                for kb in range(B):  # per-band dy row-select (each band
+                    dyt = dyrefs[kb][0]  # has its own dy tile), (HI, L)
+                    hvb = hv[kb * 8:(kb + 1) * 8]
+                    rkb = jnp.broadcast_to(dyt[0][None, :], (8, LANES))
+                    for h in range(1, HI):
+                        rkb = jnp.where(hvb == h, dyt[h][None, :], rkb)
+                    parts.append(rkb)
+                rk = jnp.concatenate(parts, axis=0)  # (SRB, L)
+                gc = jnp.take_along_axis(rk, lp32, axis=1)
+                g = gc if kd_eff == 1 else jnp.where(kc == k, gc, g)
+            g_scr[:] = g
+
+        if KD == 1:
+            gfetch(1)
+        else:
+            km = (p2 >> 4) & 0xF
+            for kd in range(KD):
+                cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
+
+                @pl.when(cond)
+                def _g(kd_eff=kd + 1):
+                    gfetch(kd_eff)
+
+        t_scr[:] = g_scr[:] * wp_ref[:]
+        rp = rposb_ref[:].astype(jnp.int32)
+        sd = (p2 >> 8) & 0xF
+        for t in range(meta.scan_bwd):
+
+            @pl.when(sd > t)
+            def _step(s=1 << t):
+                t_scr[:] += jnp.where(
+                    rp >= s, pltpu.roll(t_scr[:], s, 1), 0.0)
+
+        placed = jnp.take_along_axis(t_scr[:], put_ref[:].astype(jnp.int32),
+                                     axis=1)
+        placed = placed * putv_ref[:].astype(jnp.int32).astype(out_ref.dtype)
+        # all bands of this superchunk share one density window
+        out_ref[:] += placed.reshape(B, 8, LANES).sum(axis=0)
+
+    col = pl.BlockSpec((SRB, LANES), lambda b, bp, p2: (b, 0))
+    colk = pl.BlockSpec((KD, SRB, LANES), lambda b, bp, p2: (0, b, 0))
+
+    def dy_spec(k):
+        return pl.BlockSpec((1, HI, LANES),
+                            lambda b, bp, p2, k=k: (bp[k, b], 0, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(NCB,),
+        in_specs=[col, col, col, col, colk, col, col]
+        + [dy_spec(k) for k in range(B)],
+        out_specs=pl.BlockSpec((8, LANES), lambda b, bp, p2: (p2[b] >> 16, 0)),
+        scratch_shapes=[pltpu.VMEM((SRB, LANES), dy.dtype),
+                        pltpu.VMEM((SRB, LANES), dy.dtype)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
+        interpret=interpret,
+    )(btd.bp, btd.p2, btd.rposb, btd.wp, btd.lp8p, btd.kcolp, btd.hik,
+      btd.put, btd.putv, *([dy] * B))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def banded_project(d2, ft: BandedDeviceFwd, btd: BandedDeviceBwd,
+                   meta: RoutedMeta, B: int):
+    """y (T, HI, 128) = band-compacted routed forward projection."""
+    return _fwd_banded_pallas(d2, ft, meta, B)
+
+
+def _bp_fwd(d2, ft, btd, meta, B):
+    return banded_project(d2, ft, btd, meta, B), btd
+
+
+def _bp_bwd(meta, B, btd, dy):
+    return _bwd_banded_pallas(dy, btd, meta, B), None, None
+
+
+banded_project.defvjp(_bp_fwd, _bp_bwd)

@@ -1,0 +1,99 @@
+"""Band-compacted routed engine: interpret-mode kernels vs the XLA table
+oracle (band_pack groups live 8-row density bands into superchunks; see
+ops/route.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_raytracer_tpu import ConeRectGeom, SphericalGrid
+from sph_raytracer_tpu.ops import routed_project as rp
+from sph_raytracer_tpu.ops.project import (
+    backproject_table,
+    precompute_table,
+    project_table,
+)
+from sph_raytracer_tpu.ops.route import band_pack, build_routed_tables
+from sph_raytracer_tpu.ops.trace import GridSpec
+
+F32 = jnp.float32
+
+
+@pytest.fixture(scope="module", params=[(256, 3, 4), (128, 2, 8)])
+def setup(request):
+    G, KD, B = request.param
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = sum(
+        ConeRectGeom((8, 10), pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 3, endpoint=False)
+    )
+    gs = GridSpec.from_grid(grid, ftype=F32)
+    lin, lens, n, _ = precompute_table(
+        gs, np.asarray(geom.ray_starts, np.float32),
+        np.asarray(geom.rays, np.float32), block=256, itype=jnp.int32)
+    lin, lens = np.asarray(lin[:n]), np.asarray(lens[:n])
+    V = 8 * 8 * 8
+    rt8 = build_routed_tables(lin, lens, V, G=G, SR=8, KD=KD)
+    btF = band_pack(rt8, B=B, by="tile", chunk_multiple=4)
+    btB = band_pack(rt8, B=B, by="window", chunk_multiple=4)
+    ft, meta = rp.banded_device_fwd(btF)
+    btd, metab = rp.banded_device_bwd(btB)
+    return dict(lin=lin, lens=lens, V=V, B=B, btF=btF, btB=btB, ft=ft,
+                btd=btd, meta=meta, metab=metab, n=n)
+
+
+def test_banded_forward_matches_oracle(setup):
+    s = setup
+    rng = np.random.default_rng(0)
+    flat = jnp.asarray(rng.random(s["V"]), F32)
+    d2 = s["btF"].pad_density(flat)
+    y = rp._fwd_banded_pallas(d2, s["ft"], s["meta"], s["B"], interpret=True)
+    got = np.asarray(y).reshape(-1)[: s["n"]]
+    want = np.asarray(project_table(
+        flat, jnp.asarray(s["lin"]), jnp.asarray(s["lens"])))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_banded_backward_is_transpose(setup):
+    s = setup
+    rng = np.random.default_rng(1)
+    meta = s["meta"]
+    yf = jnp.asarray(rng.random(s["n"]), F32)
+    pad = meta.T * meta.G - s["n"]
+    yt = jnp.concatenate([yf, jnp.zeros((pad,), F32)]).reshape(
+        meta.T, meta.HI, 128)
+    d2 = rp._bwd_banded_pallas(yt, s["btd"], s["metab"], s["B"],
+                               interpret=True)
+    got = np.asarray(s["btF"].unpad_density(d2))
+    want = np.asarray(backproject_table(
+        yf, jnp.asarray(s["lin"]), jnp.asarray(s["lens"]),
+        volume_size=s["V"]))
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_banded_custom_vjp(setup):
+    s = setup
+    rng = np.random.default_rng(2)
+    flat = jnp.asarray(rng.random(s["V"]), F32)
+    y0 = jnp.asarray(rng.random(s["n"]), F32)
+
+    lin_j, lens_j = jnp.asarray(s["lin"]), jnp.asarray(s["lens"])
+
+    def loss_oracle(f):
+        return jnp.mean((project_table(f, lin_j, lens_j) - y0) ** 2)
+
+    meta, B = s["meta"], s["B"]
+    ga = np.asarray(jax.grad(loss_oracle)(flat))
+    # the VJP pipeline by hand: cotangent dy = 2(y - y0)/n applied through
+    # the banded bwd kernel must equal the oracle's autodiff gradient
+    d2 = s["btF"].pad_density(flat)
+    y = rp._fwd_banded_pallas(d2, s["ft"], meta, B, interpret=True)
+    dy = 2.0 * (y.reshape(-1)[: s["n"]] - y0) / s["n"]
+    pad = meta.T * meta.G - s["n"]
+    dyt = jnp.concatenate([dy, jnp.zeros((pad,), F32)]).reshape(
+        meta.T, meta.HI, 128)
+    gb2 = s["btF"].unpad_density(
+        rp._bwd_banded_pallas(dyt, s["btd"], s["metab"], B, interpret=True))
+    assert np.allclose(np.asarray(gb2), ga, atol=1e-5), \
+        np.abs(np.asarray(gb2) - ga).max()

@@ -9,6 +9,7 @@ if os.environ.get("JAX_PLATFORMS") and \
     os.environ["JAX_PLATFORMS"] += ",cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("SPH_TPU_TIMING", "1")
+os.environ.setdefault("SPH_TPU_TRACE_CACHE", "/root/.sph_trace_cache")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -59,6 +60,14 @@ def main():
     tf = time_fn(op._routed, density, op._dt)
     print(f"[kbench] fwd {tf*1e3:.2f} ms ({nrays/tf/1e6:.1f}M rays/s)",
           file=sys.stderr)
+
+    if isinstance(op._dt, tuple):  # banded engine: time adj directly
+        yf = jnp.asarray(rng.random(nrays), jnp.float32)
+        tb = time_fn(op._routed_adj, yf, op._dt)
+        print(f"[kbench] bwd[banded] {tb*1e3:.2f} ms "
+              f"({nrays/tb/1e6:.1f}M rays/s, {tb/tf:.2f}x fwd)",
+              file=sys.stderr)
+        return
 
     pad = meta.T * meta.G - nrays
     yt = jnp.concatenate([yf, jnp.zeros((pad,), yf.dtype)]).reshape(
