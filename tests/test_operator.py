@@ -190,3 +190,19 @@ def test_routed_f64_falls_back():
     assert op._mode == "precomputed"
     img = np.asarray(op(jnp.ones(grid.shape, F64)))
     assert np.isfinite(img).all()
+
+
+def test_trace_cache_roundtrip(tmp_path, monkeypatch):
+    """SPH_TPU_TRACE_CACHE: second construction loads identical tables."""
+    monkeypatch.setenv("SPH_TPU_TRACE_CACHE", str(tmp_path))
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = ConeRectGeom((6, 6), pos=(2.0, 0, 0), fov=(40, 40))
+    x = jnp.ones(grid.shape, jnp.float32)
+    y1 = np.asarray(Operator(grid, geom)(x))
+    assert len(list(tmp_path.glob("trace_*.npz"))) == 1
+    y2 = np.asarray(Operator(grid, geom)(x))
+    assert np.array_equal(y1, y2)
+    # a different geometry must get its own cache entry
+    geom2 = ConeRectGeom((6, 6), pos=(3.0, 0, 0), fov=(40, 40))
+    Operator(grid, geom2)
+    assert len(list(tmp_path.glob("trace_*.npz"))) == 2
