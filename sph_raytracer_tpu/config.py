@@ -64,6 +64,10 @@ class TraceConfig:
     # superchunks; only live density bands occupy table slots
     routed_banded: bool = True
     routed_bands: int = 8
+    # superchunk-count padding multiple (compile-cache hits across
+    # geometries); tests use small values to exercise unequal fwd/bwd
+    # grouping sizes
+    routed_chunk_multiple: int = 1024
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

@@ -270,7 +270,7 @@ class Operator:
                   file=sys.stderr)
         t0 = time.time()
         use_pallas = jax.default_backend() == "tpu"
-        if use_pallas and cfg.routed_banded:
+        if (use_pallas or cfg.interpret) and cfg.routed_banded:
             self._build_routed_banded(lin_h, lens_h, timing, t0)
             return
         from .ops.route import pad_chunks
@@ -339,8 +339,10 @@ class Operator:
         rt8 = build_routed_tables(
             lin_h, lens_h, self._flat_size,
             G=cfg.routed_g, SR=8, KD=cfg.routed_kd)
-        btF = band_pack(rt8, B=B, by="tile")
-        btB = band_pack(rt8, B=B, by="window")
+        btF = band_pack(rt8, B=B, by="tile",
+                        chunk_multiple=cfg.routed_chunk_multiple)
+        btB = band_pack(rt8, B=B, by="window",
+                        chunk_multiple=cfg.routed_chunk_multiple)
         if timing:
             import sys
 
@@ -358,12 +360,13 @@ class Operator:
             print(f"[timing] upload {time.time() - t0:.1f}s", file=sys.stderr)
         self._rt, self._dt, self._rmeta = btF, (ft, btd), meta
         self._rmeta_bwd = metab
+        interp = bool(cfg.interpret)
 
         @jax.jit
         def fwd_one(flat, dt):
             ft, btd = dt
             d2 = btF.pad_density(flat)
-            y = banded_project(d2, ft, btd, meta, B)
+            y = banded_project(d2, ft, btd, meta, metab, B, interp)
             return y.reshape(-1)[: meta.n_rays]
 
         @jax.jit
@@ -373,7 +376,7 @@ class Operator:
             yt = jnp.concatenate(
                 [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
                     meta.T, meta.HI, 128)
-            d2 = _bwd_banded_pallas(yt, btd, metab, B)
+            d2 = _bwd_banded_pallas(yt, btd, metab, B, interpret=interp)
             return btF.unpad_density(d2)
 
         self._routed = fwd_one

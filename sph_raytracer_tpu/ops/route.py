@@ -137,6 +137,11 @@ class RoutedTables:
     fwd_first: np.ndarray
     bwd_order: np.ndarray
     bwd_first: np.ndarray
+    # kernel output blocks are only written where chunks exist; tiles /
+    # density windows with no crossings must be zero-masked afterwards
+    # (an unvisited Pallas output block is uninitialized memory)
+    tiles_covered: np.ndarray   # (T,) int8
+    wins_covered: np.ndarray    # (H//SR,) int8
     NC: int
     SR: int
     KD: int
@@ -397,6 +402,7 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
         sdf=sdf, sdb=sdb,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
+        tiles_covered=_covered(tile_c, T), wins_covered=_covered(sg_c, H // SR),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
         n_rays=R, volume_size=volume_size, n_live=n_live,
         scan_fwd=scan_fwd, scan_bwd=scan_bwd,
@@ -483,6 +489,7 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
         sdf=sdf, sdb=sdb,
         fwd_first=fwd_first.astype(np.int32),
         bwd_order=bwd_order, bwd_first=bwd_first.astype(np.int32),
+        tiles_covered=_covered(tile_c, T), wins_covered=_covered(sg_c, H // SR),
         NC=NC, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
         n_rays=R, volume_size=volume_size, n_live=n_live,
         scan_fwd=scan_fwd, scan_bwd=scan_bwd,
@@ -507,9 +514,18 @@ def _empty_tables(SR, KD, G, HI, T, H, R, volume_size):
         sdf=np.zeros(1, np.int32), sdb=np.zeros(1, np.int32),
         fwd_first=np.ones(1, np.int32),
         bwd_order=np.zeros(1, np.int32), bwd_first=np.ones(1, np.int32),
+        tiles_covered=np.zeros(T, np.int8),
+        wins_covered=np.zeros(max(H // SR, 1), np.int8),
         NC=1, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
         n_rays=R, volume_size=volume_size, n_live=0,
     )
+
+
+def _covered(ids, n):
+    m = np.zeros(max(n, 1), np.int8)
+    if len(ids):
+        m[ids] = 1
+    return m
 
 
 def _round_up(x: int, m: int) -> int:
@@ -594,6 +610,8 @@ class BandedTables:
     sdf: np.ndarray
     sdb: np.ndarray
     first: np.ndarray   # (NCB,) int32 — 1 at the first superchunk of keyp
+    covered: np.ndarray  # (nkeys,) int8 — keys with real bands (unvisited
+                         # output blocks are uninitialized: mask them)
     NCB: int
     B: int
     KD: int
@@ -704,6 +722,7 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
         by=by, keyp=keyp, bp=bp, kmax=kmax_b.astype(np.int32),
         sdf=sdf_b.astype(np.int32), sdb=sdb_b.astype(np.int32),
         first=first.astype(np.int32),
+        covered=(counts > 0).astype(np.int8),
         NCB=NCBp, B=B, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T, H=rt.H,
         n_rays=rt.n_rays, volume_size=rt.volume_size,
         scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,

@@ -62,6 +62,8 @@ class DeviceTables(NamedTuple):
     fwd_first: jax.Array
     bwd_order: jax.Array
     bwd_first: jax.Array
+    tiles_covered: jax.Array  # (T,) int8
+    wins_covered: jax.Array   # (H//SR,) int8
 
 
 class RoutedMeta(NamedTuple):
@@ -106,6 +108,8 @@ def device_tables(rt: RoutedTables, slim: bool = False):
         fwd_first=jnp.asarray(rt.fwd_first),
         bwd_order=jnp.asarray(rt.bwd_order),
         bwd_first=jnp.asarray(rt.bwd_first),
+        tiles_covered=jnp.asarray(rt.tiles_covered),
+        wins_covered=jnp.asarray(rt.wins_covered),
     )
     meta = RoutedMeta(rt.NC, rt.SR, rt.KD, rt.G, rt.HI, rt.T, rt.H,
                       rt.n_rays, rt.volume_size, rt.scan_fwd, rt.scan_bwd)
@@ -286,12 +290,15 @@ def _fwd_pallas(d2, dt: DeviceTables, meta: RoutedMeta, interpret=False,
                                lambda b, p1, p2: (p1[b] & 0xFFFF, 0, 0)),
         scratch_shapes=[pltpu.VMEM((SR, LANES), d2.dtype)],
     )
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
         interpret=interpret,
     )(p1, p2, dt.lvw, dt.w, dt.rposf, dt.src, dt.hik, d2)
+    # tiles no chunk ever visited hold uninitialized memory (where, not
+    # multiply: 0 * uninit-NaN would stay NaN)
+    return jnp.where(dt.tiles_covered[:, None, None] > 0, y, 0.0)
 
 
 # "kpass-tree": KD lane-gathers, row-select as an HI-way select tree
@@ -441,12 +448,14 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
     p2 = (dt.bwd_first.astype(jnp.int32)
           | (dt.kmax.astype(jnp.int32) << 4)[dt.bwd_order]
           | (dt.sdb.astype(jnp.int32) << 8)[dt.bwd_order])
-    return pl.pallas_call(
+    dD2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
         interpret=interpret,
     )(dt.bwd_order, p1, p2, *tables)
+    # density windows no chunk ever visited hold uninitialized memory
+    return jnp.where(jnp.repeat(dt.wins_covered, SR)[:, None] > 0, dD2, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +499,7 @@ class BandedDeviceFwd(NamedTuple):
     hik: jax.Array      # (KD, NCB·8B, L) int8
     bp: jax.Array       # (B, NCB) int32 — density-window pointer per band
     p2: jax.Array       # (NCB,) int32 — first | kmax<<4 | sdf<<8 | tile<<16
+    covered: jax.Array  # (T,) int8 — tiles with real bands
 
 
 class BandedDeviceBwd(NamedTuple):
@@ -502,6 +512,7 @@ class BandedDeviceBwd(NamedTuple):
     putv: jax.Array
     bp: jax.Array       # (B, NCB) int32 — dy tile pointer per band
     p2: jax.Array       # (NCB,) int32 — first | kmax<<4 | sdb<<8 | window<<16
+    covered: jax.Array  # (H//8,) int8 — windows with real bands
 
 
 def banded_device_fwd(bt):
@@ -515,7 +526,7 @@ def banded_device_fwd(bt):
         lvw=jnp.asarray(bt.lvw), w=jnp.asarray(bt.w),
         rposf=jnp.asarray(bt.rposf), src=jnp.asarray(bt.src),
         hik=jnp.asarray(bt.hik), bp=jnp.asarray(bt.bp),
-        p2=jnp.asarray(p2))
+        p2=jnp.asarray(p2), covered=jnp.asarray(bt.covered))
     meta = RoutedMeta(bt.NCB, 8 * bt.B, bt.KD, bt.G, bt.HI, bt.T, bt.H,
                       bt.n_rays, bt.volume_size, bt.scan_fwd, bt.scan_bwd)
     return ft, meta
@@ -533,7 +544,7 @@ def banded_device_bwd(bt):
         lp8p=jnp.asarray(bt.lp8p), kcolp=jnp.asarray(bt.kcolp),
         hik=jnp.asarray(bt.hik), put=jnp.asarray(bt.put),
         putv=jnp.asarray(bt.putv), bp=jnp.asarray(bt.bp),
-        p2=jnp.asarray(p2))
+        p2=jnp.asarray(p2), covered=jnp.asarray(bt.covered))
     meta = RoutedMeta(bt.NCB, 8 * bt.B, bt.KD, bt.G, bt.HI, bt.T, bt.H,
                       bt.n_rays, bt.volume_size, bt.scan_fwd, bt.scan_bwd)
     return btd, meta
@@ -610,12 +621,14 @@ def _fwd_banded_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta, B: int,
                                lambda b, bp, p2: (p2[b] >> 16, 0, 0)),
         scratch_shapes=[pltpu.VMEM((SRB, LANES), d2.dtype)],
     )
-    return pl.pallas_call(
+    y = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
         interpret=interpret,
     )(ft.bp, ft.p2, ft.lvw, ft.w, ft.rposf, ft.src, ft.hik, *([d2] * B))
+    # tiles with no bands are never visited -> uninitialized output block
+    return jnp.where(ft.covered[:, None, None] > 0, y, 0.0)
 
 
 def _bwd_banded_pallas(dy, btd: BandedDeviceBwd, meta: RoutedMeta, B: int,
@@ -701,28 +714,35 @@ def _bwd_banded_pallas(dy, btd: BandedDeviceBwd, meta: RoutedMeta, B: int,
         scratch_shapes=[pltpu.VMEM((SRB, LANES), dy.dtype),
                         pltpu.VMEM((SRB, LANES), dy.dtype)],
     )
-    return pl.pallas_call(
+    dD2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
         interpret=interpret,
     )(btd.bp, btd.p2, btd.rposb, btd.wp, btd.lp8p, btd.kcolp, btd.hik,
       btd.put, btd.putv, *([dy] * B))
+    # windows with no bands are never visited -> uninitialized output block
+    return jnp.where(jnp.repeat(btd.covered, 8)[:, None] > 0, dD2, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def banded_project(d2, ft: BandedDeviceFwd, btd: BandedDeviceBwd,
-                   meta: RoutedMeta, B: int):
-    """y (T, HI, 128) = band-compacted routed forward projection."""
-    return _fwd_banded_pallas(d2, ft, meta, B)
+                   meta: RoutedMeta, metab: RoutedMeta, B: int,
+                   interpret: bool = False):
+    """y (T, HI, 128) = band-compacted routed forward projection.
+
+    ``meta``/``metab`` are the forward (by-tile) and backward (by-window)
+    groupings' metas — their superchunk counts differ in general."""
+    return _fwd_banded_pallas(d2, ft, meta, B, interpret=interpret)
 
 
-def _bp_fwd(d2, ft, btd, meta, B):
-    return banded_project(d2, ft, btd, meta, B), btd
+def _bp_fwd(d2, ft, btd, meta, metab, B, interpret):
+    return banded_project(d2, ft, btd, meta, metab, B, interpret), btd
 
 
-def _bp_bwd(meta, B, btd, dy):
-    return _bwd_banded_pallas(dy, btd, meta, B), None, None
+def _bp_bwd(meta, metab, B, interpret, btd, dy):
+    return (_bwd_banded_pallas(dy, btd, metab, B, interpret=interpret),
+            None, None)
 
 
 banded_project.defvjp(_bp_fwd, _bp_bwd)

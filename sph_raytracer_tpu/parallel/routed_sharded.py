@@ -64,6 +64,10 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
             src=rt.src[:, sl], hik=rt.hik[:, sl],
             sg=rt.sg[lo:hi], tile=rt.tile[lo:hi] - d * tiles_per,
             kmax=rt.kmax[lo:hi], sdf=rt.sdf[lo:hi], sdb=rt.sdb[lo:hi],
+            tiles_covered=_pad_to(
+                rt.tiles_covered[d * tiles_per:(d + 1) * tiles_per],
+                tiles_per),
+            wins_covered=rt.wins_covered,
             fwd_first=_first_of(rt.tile[lo:hi]),
             bwd_order=np.zeros(max(hi - lo, 1), np.int32),
             bwd_first=np.zeros(max(hi - lo, 1), np.int32),
@@ -91,6 +95,8 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
                 sg=np.zeros(1, np.int32), tile=np.zeros(1, np.int32),
                 kmax=np.zeros(1, np.int32),
                 sdf=np.zeros(1, np.int32), sdb=np.zeros(1, np.int32),
+                tiles_covered=np.zeros(tiles_per, np.int8),
+                wins_covered=np.zeros_like(rt.wins_covered),
                 fwd_first=np.ones(1, np.int32), NC=1,
             )
         shards.append(shard)
@@ -110,11 +116,17 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
     fields = ("lvw", "w", "hi8", "lp8", "perm", "put", "putv", "kcol",
               "rposf", "rposb", "wp", "lp8p", "kcolp", "src", "hik", "sg",
               "tile", "kmax", "sdf", "sdb", "fwd_first", "bwd_order",
-              "bwd_first")
+              "bwd_first", "tiles_covered", "wins_covered")
     stacked = {k: np.stack([getattr(s, k) for s in shards]) for k in fields}
     meta = RoutedMeta(NCp, rt.SR, rt.KD, rt.G, rt.HI, tiles_per, rt.H,
                       rt.n_rays, rt.volume_size, rt.scan_fwd, rt.scan_bwd)
     return stacked, meta
+
+
+def _pad_to(a, n):
+    if a.shape[0] >= n:
+        return a[:n]
+    return np.concatenate([a, np.zeros(n - a.shape[0], a.dtype)])
 
 
 def _first_of(tiles):
@@ -212,6 +224,7 @@ def sharded_routed_project(mesh, tables: dict, meta: RoutedMeta, d2,
 def _tables_of(leaves):
     keys = ["bwd_first", "bwd_order", "fwd_first", "hi8", "hik", "kcol",
             "kcolp", "kmax", "lp8", "lp8p", "lvw", "perm", "put", "putv",
-            "rposb", "rposf", "sdb", "sdf", "sg", "src", "tile", "w", "wp"]
+            "rposb", "rposf", "sdb", "sdf", "sg", "src", "tile",
+            "tiles_covered", "w", "wins_covered", "wp"]
     d = dict(zip(keys, leaves))
     return DeviceTables(**d)

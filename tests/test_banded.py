@@ -97,3 +97,33 @@ def test_banded_custom_vjp(setup):
         rp._bwd_banded_pallas(dyt, s["btd"], s["metab"], B, interpret=True))
     assert np.allclose(np.asarray(gb2), ga, atol=1e-5), \
         np.abs(np.asarray(gb2) - ga).max()
+
+
+def test_banded_operator_interpret_end_to_end():
+    """Full Operator banded path on CPU (interpret kernels) vs the XLA
+    precomputed operator — with unequal fwd/bwd superchunk counts (the
+    backward grouping runs on its own meta)."""
+    from sph_raytracer_tpu import Operator
+    from sph_raytracer_tpu.config import TraceConfig
+
+    grid = SphericalGrid(shape=(32, 16, 16))
+    geom = sum(
+        ConeRectGeom((8, 10), pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 3, endpoint=False)
+    )
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2)
+    op_b = Operator(grid, geom, config=cfg)
+    assert isinstance(op_b._dt, tuple)  # banded engine active
+    assert op_b._rmeta.NC != op_b._rmeta_bwd.NC  # distinct groupings
+    op_a = Operator(grid, geom, mode="precomputed")
+    x = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)),
+                    jnp.float32)
+    assert np.allclose(np.asarray(op_b(x)), np.asarray(op_a(x)), atol=1e-4)
+    y = op_a(x)
+    ga = jax.grad(lambda d: jnp.mean((op_a(d) - y) ** 2))(x)
+    gb = jax.grad(lambda d: jnp.mean((op_b(d) - y) ** 2))(x)
+    assert np.allclose(np.asarray(gb), np.asarray(ga), atol=1e-5)
+    assert np.allclose(np.asarray(op_b.T(y)), np.asarray(op_a.T(y)),
+                       atol=1e-4)

@@ -224,3 +224,38 @@ def test_operator_routed_adjoint():
     yc = jnp.stack([y, 2 * y])
     assert np.allclose(np.asarray(op_r.T(yc)), np.asarray(op_a.T(yc)),
                        atol=1e-4)
+
+
+def test_uncovered_tiles_and_windows_are_zeroed():
+    """Rays that miss the volume entirely leave their tile's output block
+    unvisited (uninitialized memory in a real kernel); the coverage masks
+    must zero those tiles/windows.  Interpret mode surfaces uninitialized
+    blocks as NaN, so this fails without the masks."""
+    from sph_raytracer_tpu.ops import routed_project as rp
+    from sph_raytracer_tpu.ops.project import precompute_table
+    from sph_raytracer_tpu.ops.trace import GridSpec
+
+    grid = SphericalGrid(shape=(16, 8, 8))
+    # one detector looking at the volume, one aimed away (its rays miss);
+    # 128 rays each = one tile each at G=128
+    geom = (ConeRectGeom((8, 16), pos=(2.0, 0, 0), fov=(30, 30))
+            + ConeRectGeom((8, 16), pos=(5.0, 0, 0), lookdir=(1.0, 0, 0),
+                           fov=(10, 10)))
+    gs = GridSpec.from_grid(grid, ftype=jnp.float32)
+    lin, lens, n, _ = precompute_table(
+        gs, np.asarray(geom.ray_starts, np.float32),
+        np.asarray(geom.rays, np.float32), block=128, itype=jnp.int32)
+    lin, lens = np.asarray(lin[:n]), np.asarray(lens[:n])
+    assert (lens[128:] == 0).all()  # second detector misses
+    V = 16 * 8 * 8
+    rt = build_routed_tables(lin, lens, V, G=128, SR=8, KD=2)
+    assert not rt.tiles_covered.all()  # the missing tile is uncovered
+    dt, meta = rp.device_tables(rt)
+    d2 = rt.pad_density(jnp.asarray(np.random.default_rng(0).random(V),
+                                    jnp.float32))
+    y = np.asarray(rp._fwd_pallas(d2, dt, meta, interpret=True))
+    assert np.isfinite(y).all()
+    assert (y[rt.tiles_covered == 0] == 0).all()
+    dy = jnp.asarray(np.random.default_rng(1).random(y.shape), jnp.float32)
+    dD2 = np.asarray(rp._bwd_pallas(dy, dt, meta, interpret=True))
+    assert np.isfinite(dD2).all()
