@@ -661,6 +661,8 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     """
     assert rt.SR == SUBLANES, "band_pack expects SR=8 tables"
     NC = rt.NC
+    if NC == 0 or rt.n_live == 0:
+        return _empty_banded(rt, B, by, chunk_multiple)
     if by == "tile":
         order = np.arange(NC)
         key = rt.tile
@@ -723,6 +725,34 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
         sdf=sdf_b.astype(np.int32), sdb=sdb_b.astype(np.int32),
         first=first.astype(np.int32),
         covered=(counts > 0).astype(np.int8),
+        NCB=NCBp, B=B, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T, H=rt.H,
+        n_rays=rt.n_rays, volume_size=rt.volume_size,
+        scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,
+    )
+
+
+def _empty_banded(rt: RoutedTables, B: int, by: str,
+                  chunk_multiple: int) -> BandedTables:
+    """All-dummy banded tables for an empty shard (no live crossings)."""
+    nkeys = rt.T if by == "tile" else rt.H // SUBLANES
+    NCBp = _round_up(1, chunk_multiple)
+    nr = NCBp * B * SUBLANES
+
+    def z8():
+        return np.zeros((nr, LANES), np.int8)
+
+    def zc():
+        return np.zeros(NCBp, np.int32)
+
+    return BandedTables(
+        lvw=z8(), w=np.zeros((nr, LANES), np.float32), rposf=z8(),
+        src=np.zeros((rt.KD, nr, LANES), np.int8),
+        hik=np.full((rt.KD, nr, LANES), -1, np.int8),
+        wp=np.zeros((nr, LANES), np.float32), lp8p=z8(), kcolp=z8(),
+        rposb=z8(), put=z8(), putv=z8(),
+        by=by, keyp=zc(), bp=np.zeros((B, NCBp), np.int32),
+        kmax=zc(), sdf=zc(), sdb=zc(), first=zc(),
+        covered=np.zeros(max(nkeys, 1), np.int8),
         NCB=NCBp, B=B, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T, H=rt.H,
         n_rays=rt.n_rays, volume_size=rt.volume_size,
         scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,

@@ -228,3 +228,208 @@ def _tables_of(leaves):
             "tiles_covered", "w", "wins_covered", "wp"]
     d = dict(zip(keys, leaves))
     return DeviceTables(**d)
+
+
+# ---------------------------------------------------------------------------
+# band-compacted sharding (the default TPU engine, ops/route.band_pack):
+# device d owns the bands of its tile range; fwd groups them by tile, bwd
+# by density window, exactly as single-chip — plus a psum in the backward
+# ---------------------------------------------------------------------------
+
+def _slice_rt8(rt, lo, hi, tiles_per, d):
+    """Chunk-range slice of SR=8 tables for device d (tiles renumbered to
+    the shard-local range)."""
+    sl = slice(lo * rt.SR, hi * rt.SR)
+    tile_l = rt.tile[lo:hi] - d * tiles_per
+    sg_l = rt.sg[lo:hi]
+    bwd_order = np.lexsort((tile_l, sg_l)).astype(np.int32)
+    sgs = sg_l[bwd_order] if len(bwd_order) else sg_l
+    return dataclasses.replace(
+        rt,
+        lvw=rt.lvw[sl], w=rt.w[sl], hi8=rt.hi8[sl], lp8=rt.lp8[sl],
+        perm=rt.perm[sl], put=rt.put[sl], putv=rt.putv[sl],
+        kcol=rt.kcol[sl], rposf=rt.rposf[sl], rposb=rt.rposb[sl],
+        wp=rt.wp[sl], lp8p=rt.lp8p[sl], kcolp=rt.kcolp[sl],
+        src=rt.src[:, sl], hik=rt.hik[:, sl],
+        sg=sg_l, tile=tile_l,
+        kmax=rt.kmax[lo:hi], sdf=rt.sdf[lo:hi], sdb=rt.sdb[lo:hi],
+        tiles_covered=_pad_to(
+            rt.tiles_covered[d * tiles_per:(d + 1) * tiles_per], tiles_per),
+        wins_covered=rt.wins_covered,
+        fwd_first=_first_of(tile_l),
+        bwd_order=bwd_order,
+        bwd_first=(np.r_[1, (sgs[1:] != sgs[:-1]).astype(np.int32)]
+                   if len(sgs) else np.ones(1, np.int32)),
+        NC=hi - lo, T=tiles_per,
+    )
+
+
+def _pad_banded(bt, NCBp):
+    """Pad a BandedTables to NCBp superchunks (zero tables, first=0)."""
+    from ..ops.route import BandedTables  # noqa: F401
+
+    e = NCBp - bt.NCB
+    if e <= 0:
+        return bt
+    SRB = 8 * bt.B
+
+    def padrows(a):
+        pad = np.zeros((e * SRB,) + a.shape[1:], a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    def padk(a, fill):
+        pad = np.full((a.shape[0], e * SRB) + a.shape[2:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=1)
+
+    def padc(a, fill=0):
+        return np.concatenate([a, np.full((e,) + a.shape[1:], fill, a.dtype)])
+
+    last_key = int(bt.keyp[bt.NCB - 1]) if bt.NCB else 0
+    return dataclasses.replace(
+        bt,
+        lvw=padrows(bt.lvw), w=padrows(bt.w), rposf=padrows(bt.rposf),
+        src=padk(bt.src, 0), hik=padk(bt.hik, -1),
+        wp=padrows(bt.wp), lp8p=padrows(bt.lp8p), kcolp=padrows(bt.kcolp),
+        rposb=padrows(bt.rposb), put=padrows(bt.put), putv=padrows(bt.putv),
+        keyp=padc(bt.keyp, last_key), bp=np.concatenate(
+            [bt.bp, np.zeros((bt.B, e), bt.bp.dtype)], axis=1),
+        kmax=padc(bt.kmax), sdf=padc(bt.sdf), sdb=padc(bt.sdb),
+        first=padc(bt.first), NCB=NCBp,
+    )
+
+
+def shard_banded_tables(rt8, n_devices: int, B: int = 8,
+                        chunk_multiple: int = 256):
+    """Split SR=8 tables by tile range and band-pack each shard.
+
+    Returns (fwd stacked dict, bwd stacked dict, meta_fwd, meta_bwd) with
+    all shards padded to common superchunk counts.
+    """
+    from ..ops.route import band_pack
+
+    D = n_devices
+    Tp = -(-rt8.T // D) * D
+    tiles_per = Tp // D
+    bounds = np.searchsorted(rt8.tile, np.arange(D + 1) * tiles_per)
+    fts, bts = [], []
+    for d in range(D):
+        sub = _slice_rt8(rt8, int(bounds[d]), int(bounds[d + 1]),
+                         tiles_per, d)
+        fts.append(band_pack(sub, B=B, by="tile", chunk_multiple=1))
+        bts.append(band_pack(sub, B=B, by="window", chunk_multiple=1))
+    NCf = _round_up_mult(max(ft.NCB for ft in fts), chunk_multiple)
+    NCb = _round_up_mult(max(bt.NCB for bt in bts), chunk_multiple)
+    fts = [_pad_banded(ft, NCf) for ft in fts]
+    bts = [_pad_banded(bt, NCb) for bt in bts]
+
+    ffields = ("lvw", "w", "rposf", "src", "hik", "bp", "keyp", "kmax",
+               "sdf", "first", "covered")
+    bfields = ("rposb", "wp", "lp8p", "kcolp", "hik", "put", "putv", "bp",
+               "keyp", "kmax", "sdb", "first", "covered")
+    fstk = {k: np.stack([getattr(t, k) for t in fts]) for k in ffields}
+    bstk = {k: np.stack([getattr(t, k) for t in bts]) for k in bfields}
+    mf = RoutedMeta(NCf, 8 * B, rt8.KD, rt8.G, rt8.HI, tiles_per, rt8.H,
+                    rt8.n_rays, rt8.volume_size, rt8.scan_fwd, rt8.scan_bwd)
+    mb = RoutedMeta(NCb, 8 * B, rt8.KD, rt8.G, rt8.HI, tiles_per, rt8.H,
+                    rt8.n_rays, rt8.volume_size, rt8.scan_fwd, rt8.scan_bwd)
+    return fstk, bstk, mf, mb
+
+
+def _round_up_mult(x, m):
+    return -(-max(x, 1) // m) * m
+
+
+def _ft_of(leaves, keys):
+    from ..ops.routed_project import BandedDeviceFwd
+
+    d = dict(zip(keys, leaves))
+    p2 = ((d.pop("first") | (d.pop("kmax") << 4) | (d.pop("sdf") << 8)
+           | (d.pop("keyp") << 16)).astype(jnp.int32))
+    return BandedDeviceFwd(p2=p2, **d)
+
+
+def _btd_of(leaves, keys):
+    from ..ops.routed_project import BandedDeviceBwd
+
+    d = dict(zip(keys, leaves))
+    p2 = ((d.pop("first") | (d.pop("kmax") << 4) | (d.pop("sdb") << 8)
+           | (d.pop("keyp") << 16)).astype(jnp.int32))
+    return BandedDeviceBwd(p2=p2, **d)
+
+
+@partial(jax.jit, static_argnames=("mesh", "meta", "metab", "B",
+                                   "interpret", "axis"))
+def sharded_banded_project(mesh, ftables: dict, btables: dict,
+                           meta: RoutedMeta, metab: RoutedMeta, B: int, d2,
+                           interpret: bool = False, axis: str = RAY_AXIS):
+    """Band-compacted forward over the mesh (differentiable; the backward
+    runs the banded transpose kernel per shard and psums)."""
+    from ..ops.routed_project import _bwd_banded_pallas, _fwd_banded_pallas
+
+    fkeys = sorted(ftables)
+    bkeys = sorted(btables)
+
+    @jax.custom_vjp
+    def project(d2, ftables, btables):
+        return _fwd_local(d2, ftables)
+
+    def _fwd_local(d2, ftables):
+        def local(d2, *ls):
+            ft = _ft_of([l[0] for l in ls], fkeys)
+            return _fwd_banded_pallas(d2, ft, meta, B, interpret=interpret)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(),) + tuple(
+                P(axis, *([None] * (ftables[k].ndim - 1))) for k in fkeys),
+            out_specs=P(axis),
+            check_vma=False,  # pallas_call has no vma annotations
+        )(d2, *[ftables[k] for k in fkeys])
+
+    def fwd(d2, ftables, btables):
+        return _fwd_local(d2, ftables), btables
+
+    def bwd(btables, dy):
+        def local(dy, *ls):
+            btd = _btd_of([l[0] for l in ls], bkeys)
+            dD2 = _bwd_banded_pallas(dy, btd, metab, B, interpret=interpret)
+            return jax.lax.psum(dD2, RAY_AXIS)
+
+        dD2 = jax.shard_map(
+            lambda dy, *ls: local(dy, *ls),
+            mesh=mesh,
+            in_specs=(P(axis),) + tuple(
+                P(axis, *([None] * (btables[k].ndim - 1))) for k in bkeys),
+            out_specs=P(),
+            check_vma=False,
+        )(dy, *[btables[k] for k in bkeys])
+        return dD2, None, None
+
+    project.defvjp(fwd, bwd)
+    return project(d2, ftables, btables)
+
+
+@partial(jax.jit, static_argnames=("mesh", "metab", "B", "interpret",
+                                   "axis"))
+def sharded_banded_backproject(mesh, btables: dict, metab: RoutedMeta,
+                               B: int, dy, interpret: bool = False,
+                               axis: str = RAY_AXIS):
+    """Adjoint over the mesh with the banded transpose kernel."""
+    from ..ops.routed_project import _bwd_banded_pallas
+
+    bkeys = sorted(btables)
+
+    def local(dy, *ls):
+        btd = _btd_of([l[0] for l in ls], bkeys)
+        dD2 = _bwd_banded_pallas(dy, btd, metab, B, interpret=interpret)
+        return jax.lax.psum(dD2, axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis),) + tuple(
+            P(axis, *([None] * (btables[k].ndim - 1))) for k in bkeys),
+        out_specs=P(),
+        check_vma=False,
+    )(dy, *[btables[k] for k in bkeys])

@@ -224,15 +224,31 @@ class ShardedOperator(Operator):
         if self._view_offsets is not None:
             lin_h = (lin_h + self._view_offsets.reshape(-1, 1)).astype(
                 lin_h.dtype)
+        D = int(self.mesh.devices.size)
+        self._use_pallas = jax.default_backend() == "tpu"
+        if cfg.routed_banded and (self._use_pallas or cfg.interpret):
+            from .routed_sharded import shard_banded_tables
+
+            rt8 = build_routed_tables(
+                lin_h, lens_h, self._flat_size,
+                G=cfg.routed_g, SR=8, KD=cfg.routed_kd)
+            fstk, bstk, mf, mb = shard_banded_tables(
+                rt8, D, B=cfg.routed_bands)
+            self._sb_ft = put_sharded_tables(fstk, self.mesh)
+            self._sb_bt = put_sharded_tables(bstk, self.mesh)
+            self._sb_meta, self._sb_metab = mf, mb
+            self._sb_B = cfg.routed_bands
+            self._sb_rt8 = rt8
+            self._sharded_routed = "banded"
+            self.lin, self.lens = lin, lens
+            return
         rt = build_routed_tables(
             lin_h, lens_h, self._flat_size,
             G=cfg.routed_g, SR=cfg.routed_sr, KD=cfg.routed_kd)
-        D = int(self.mesh.devices.size)
         stacked, meta = shard_routed_tables(rt, D)
         self._srt_tables = put_sharded_tables(stacked, self.mesh)
         self._srt_meta = meta
         self._srt_rt = rt
-        self._use_pallas = jax.default_backend() == "tpu"
         self._sharded_routed = True
         # keep host mirrors for .T / debugging
         self.lin, self.lens = lin, lens
@@ -248,7 +264,19 @@ class ShardedOperator(Operator):
         chan = density.shape[: -len(gshape)]
         flat2 = density.reshape(-1, self._flat_size)
 
-        if self._sharded_routed:
+        if self._sharded_routed == "banded":
+            from .routed_sharded import sharded_banded_project
+
+            outs = []
+            for i in range(flat2.shape[0]):
+                d2 = self._sb_rt8.pad_density(flat2[i])
+                y = sharded_banded_project(
+                    self.mesh, self._sb_ft, self._sb_bt, self._sb_meta,
+                    self._sb_metab, self._sb_B, d2,
+                    interpret=bool(self.config.interpret))
+                outs.append(y.reshape(-1)[: self._nrays])
+            out = jnp.stack(outs)
+        elif self._sharded_routed:
             from .routed_sharded import sharded_routed_project
 
             rt, meta = self._srt_rt, self._srt_meta
@@ -274,6 +302,23 @@ class ShardedOperator(Operator):
         nlead = y.ndim - len(self._rshape)
         chan = y.shape[:nlead]
         y2 = y.reshape(-1, self._nrays)
+        if self._sharded_routed == "banded":
+            from ..ops.route import LANES
+            from .routed_sharded import sharded_banded_backproject
+
+            meta = self._sb_metab
+            D = int(self.mesh.devices.size)
+            total = D * meta.T * meta.G
+            outs = []
+            for i in range(y2.shape[0]):
+                yf = jnp.concatenate(
+                    [y2[i], jnp.zeros((total - self._nrays,), y2.dtype)]
+                ).reshape(D * meta.T, meta.HI, LANES)
+                d2 = sharded_banded_backproject(
+                    self.mesh, self._sb_bt, meta, self._sb_B, yf,
+                    interpret=bool(self.config.interpret))
+                outs.append(self._sb_rt8.unpad_density(d2))
+            return jnp.stack(outs).reshape(*chan, *self.grid.shape)
         if self._sharded_routed:
             from ..ops.route import LANES
             from .routed_sharded import sharded_routed_backproject

@@ -115,3 +115,25 @@ def test_sharded_routed_matches_single_device(setup):
     bp_ref = np.asarray(op32.T(y))
     bp_sh = np.asarray(sop.T(y))
     assert np.allclose(bp_sh, bp_ref, atol=1e-4)
+
+
+def test_sharded_banded_matches_single_device(setup):
+    """Band-compacted sharded engine (interpret kernels on the CPU mesh):
+    forward, gradient (psum), and adjoint match the single-device op."""
+    grid, geom, op, x = setup
+    from sph_raytracer_tpu.config import TraceConfig
+
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    assert sop._sharded_routed == "banded"
+    x32 = x.astype(jnp.float32)
+    op32 = Operator(grid, geom)
+    assert np.allclose(np.asarray(sop(x32)), np.asarray(op32(x32)),
+                       atol=1e-4)
+    y = op32(x32)
+    g_ref = jax.grad(lambda d: jnp.mean((op32(d) - y) ** 2))(x32)
+    g_sh = jax.grad(lambda d: jnp.mean((sop(d) - y) ** 2))(x32)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4)
+    assert np.allclose(np.asarray(sop.T(y)), np.asarray(op32.T(y)),
+                       atol=1e-4)
