@@ -73,7 +73,17 @@ class SphericalGrid:
         e_b=None,
         a_b=None,
         timeunit: str = "s",
+        rs_b=None,
+        phis_b=None,
+        thetas_b=None,
     ):
+        # reference-compat deprecated aliases (reference geometry.py:113-130)
+        if (rs_b is not None) and (phis_b is not None) and (thetas_b is not None):
+            import warnings
+
+            warnings.warn("rs_b/phis_b/thetas_b are deprecated; use "
+                          "r_b/e_b/a_b", DeprecationWarning)
+            r_b, e_b, a_b = rs_b, phis_b, thetas_b
         self.dynamic = False
 
         if shape is not None:
@@ -133,6 +143,8 @@ class SphericalGrid:
         self.shape = shape
         self.spacing = spacing
         self.r_b, self.e_b, self.a_b = r_b, e_b, a_b
+        # deprecated attribute aliases (reference geometry.py:182)
+        self.rs_b, self.phis_b, self.thetas_b = r_b, e_b, a_b
         self.t, self.r, self.e, self.a = t, r, e, a
         self.timeunit = timeunit
 

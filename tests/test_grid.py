@@ -76,3 +76,20 @@ def test_bad_shape():
         SphericalGrid(shape=(1, 2))
     with pytest.raises(ValueError):
         SphericalGrid(shape=None)
+
+
+def test_deprecated_boundary_aliases():
+    """Reference-compat: rs_b/phis_b/thetas_b kwargs and attributes
+    (reference geometry.py:113-130, 182)."""
+    import warnings
+
+    r_b = np.linspace(0, 1, 5)
+    e_b = np.linspace(0, np.pi, 4)
+    a_b = np.linspace(-np.pi, np.pi, 7)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g = SphericalGrid(shape=None, rs_b=r_b, phis_b=e_b, thetas_b=a_b)
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert np.array_equal(g.r_b, r_b) and np.array_equal(g.rs_b, r_b)
+    assert np.array_equal(g.phis_b, e_b) and np.array_equal(g.thetas_b, a_b)
+    assert tuple(g.shape) == (4, 3, 6)
