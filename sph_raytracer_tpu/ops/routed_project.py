@@ -424,6 +424,9 @@ def _bwd_pallas(dy, dt: DeviceTables, meta: RoutedMeta, interpret=False,
     if g_fetch == "hi":
         kernel = kernel_hi
         in_specs = [col_spec] * 7 + [dy_spec]
+        assert dt.hi8.shape == dt.w.shape, (
+            "legacy 'hi' g-fetch needs full tables; this DeviceTables was "
+            "uploaded slim (device_tables(slim=True))")
         tables = (dt.rposb, dt.w, dt.hi8, dt.lp8, dt.perm, dt.put, dt.putv,
                   dy)
     else:
