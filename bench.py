@@ -31,7 +31,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("SPH_TPU_TIMING", "1")
 # cache traced crossing tables on disk (the trace is deterministic; the
 # axon relay's remote-compile cache is unreliable, costing 80-500s/run)
-os.environ.setdefault("SPH_TPU_TRACE_CACHE", "/root/.sph_trace_cache")
+os.environ.setdefault("SPH_TPU_TRACE_CACHE", "/dev/shm/sph_trace_cache")
 
 import numpy as np
 

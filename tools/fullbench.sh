@@ -12,6 +12,9 @@ run() {  # name timeout cmd...
     timeout "$t" "$@" > "$OUT/$name.log" 2>&1
     echo "--- $name exit=$? ---"
     grep -aE "kbench|timing|scale|metric|parity|OK|rays" "$OUT/$name.log" | tail -12
+    # the axon relay wedges if a new client attaches immediately after the
+    # previous one exits — give the device handoff time to settle
+    sleep 60
 }
 
 run parity   590 python -u tools/tpu_parity.py

@@ -12,7 +12,7 @@ if os.environ.get("JAX_PLATFORMS") and \
     os.environ["JAX_PLATFORMS"] += ",cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("SPH_TPU_TIMING", "1")
-os.environ.setdefault("SPH_TPU_TRACE_CACHE", "/root/.sph_trace_cache")
+os.environ.setdefault("SPH_TPU_TRACE_CACHE", "/dev/shm/sph_trace_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
