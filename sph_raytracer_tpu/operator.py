@@ -189,7 +189,9 @@ class Operator:
             h.update(np.asarray(a, np.float64).tobytes())
         h.update(np.asarray(self._xs, np.float64).tobytes())
         h.update(np.asarray(self._rays, np.float64).tobytes())
-        h.update(f"{self.config.ftype}/{self.config.itype}/v1".encode())
+        # v2: midpoint segment labels (ops/trace.py) replaced the
+        # entered-region forward fill — v1 traces carry stale labels
+        h.update(f"{self.config.ftype}/{self.config.itype}/v2".encode())
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"trace_{h.hexdigest()[:24]}.npz")
 

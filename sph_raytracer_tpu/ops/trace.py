@@ -1,25 +1,28 @@
-"""Crossing assembly: sort, forward-fill, segment lengths.
+"""Crossing assembly: sort, midpoint voxel labels, segment lengths.
 
 TPU-native re-design of the reference ``trace_indices`` pipeline
-(/root/reference/sph_raytracer/raytracer.py:48-230) and its sequential
-TorchScript forward-fill kernel (raytracer.py:17-45).
+(/root/reference/sph_raytracer/raytracer.py:48-230).
 
 Pipeline, per ray (all rays vectorized, all shapes static):
   1. r/e/a crossing kernels (:mod:`.intersect`)          → M-1 candidates
-  2. ray-start pseudo-crossing at t=0 with the start voxel triplet
-  3. crossings behind the start (t<0) invalidated to -2
-  4. multi-operand ``lax.sort`` by distance (replaces torch sort +
-     take_along_dim, raytracer.py:131-137)
-  5. per-axis forward fill of the -2 holes with ``lax.associative_scan``
-     (a log₂M "last valid value" scan replacing the reference's M-step
-     sequential loop) seeded with the start voxel
-  6. segment lengths = diff of sorted distances, +inf appended for the
-     final segment; non-finite or out-of-grid segments zeroed
-     (raytracer.py:148-173 — region ids are *kept* negative, lengths are
-     what masks them, exactly like the reference)
+  2. ray-start pseudo-crossing at t=0 (splits any segment straddling the
+     start, so behind-the-start exclusion is a per-segment `t ≥ 0` test)
+  3. single-key ``lax.sort`` by distance (the reference co-sorts three
+     region tensors via torch sort + take_along_dim, raytracer.py:131-137;
+     we need only the distances)
+  4. segment lengths = diff of sorted distances, +inf appended for the
+     final segment
+  5. segment voxel labels by midpoint classification (:func:`_bin_segments`)
+     — NOT the reference's entered-region forward fill (raytracer.py:17-45,
+     109-230), which FP-fragile shadow classification near the polar axis
+     can derail for the rest of the ray (its FIXME, raytracer.py:534) and
+     which mislabels all behind-the-start path of interior viewers
 
 ``M = 2(N_r+1) + 2(N_e+1) + (N_a+1) + 1`` is compile-time static
 (raytracer.py:72, examples/memory_usage.py:23-24).
+
+``forward_fill`` (the log₂M associative-scan equivalent of the
+reference's sequential TorchScript fill) is kept as a utility.
 """
 from __future__ import annotations
 
@@ -32,9 +35,8 @@ import numpy as np
 
 from .intersect import (
     INVALID,
+    OUTSIDE,
     cone_crossings,
-    find_starts,
-    find_starts_raw,
     plane_crossings,
     sphere_crossings,
 )
@@ -123,8 +125,70 @@ def forward_fill(x, initial, fill_what: int = INVALID, axis: int = -1):
     return jnp.where(filled == fill_what, jnp.expand_dims(initial, axis), filled)
 
 
+def _bin_segments(gs: GridSpec, xs, rays_n, ts, lens_raw, itype):
+    """Label segments by the voxel containing their midpoint.
+
+    Classifying ``xs + (t + len/2)·ray`` directly (instead of forward-
+    filling per-crossing "region entered" codes like the reference,
+    raytracer.py:109-230) makes labels geometrically correct by
+    construction: near-axis passages, where several azimuth half-plane
+    crossings nearly coincide and the shadow classification of each is
+    decided by FP noise, mislabel the rest of the ray under event-fill
+    (the reference's acknowledged FIXME, raytracer.py:534; its fill also
+    dumps all path *behind* an interior ray start into the start voxel
+    despite marking those crossings invalid, raytracer.py:125-137).
+    Midpoint labels are also deterministic across backends and program
+    shapes — equal-`t` sort ties can reorder, but they only move
+    zero-length segments.
+
+    Returns (regs (3, …, M) int, valid (…, M) bool); ``valid`` is True
+    for forward (t ≥ 0), finite, positive-length, in-grid segments.
+    """
+    live = jnp.isfinite(lens_raw) & (lens_raw > 0) & (ts >= 0)
+    t_mid = jnp.where(live, ts + lens_raw * 0.5, -1.0)
+    p = xs[..., None, :] + t_mid[..., None] * rays_n[..., None, :]
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]
+    xy = jnp.hypot(px, py)
+    vals = (jnp.sqrt(px**2 + py**2 + pz**2), jnp.arctan2(xy, pz),
+            jnp.arctan2(py, px))
+
+    method = "compare_all" if jax.default_backend() == "tpu" else "scan"
+    out = []
+    statics = (gs.r_b, gs.e_b, gs.a_b)  # hashable host-side tuples
+    for axis, (b_host, bounds, v) in enumerate(zip(statics, gs.arrays(),
+                                                   vals)):
+        if axis == 2 and (b_host[0] < -np.pi - 1e-12
+                          or b_host[-1] > np.pi + 1e-12):
+            # azimuth grid extends beyond atan2's (-π, π] range: wrap the
+            # angle into one period starting at the first boundary
+            v = bounds[0] + jnp.mod(v - bounds[0], 2 * np.pi)
+        n = bounds.shape[0] - 1
+        reg = jnp.searchsorted(bounds, v, side="right",
+                               method=method).astype(itype) - 1
+        # exactly on the outer boundary counts as the last voxel
+        # (same convention as find_starts, reference raytracer.py:605-644)
+        reg = jnp.where(v == bounds[-1], n - 1, reg)
+        out.append(jnp.where(live, reg, jnp.array(OUTSIDE, itype)))
+
+    reg_r, reg_e, reg_a = out
+    valid = (
+        live
+        & (reg_r >= 0) & (reg_r <= gs.nr - 1)
+        & (reg_e >= 0) & (reg_e <= gs.ne - 1)
+        & (reg_a >= 0) & (reg_a <= gs.na - 1)
+    )
+    return jnp.stack([reg_r, reg_e, reg_a], axis=0), valid
+
+
 def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None):
     """Full crossing trace for a batch of rays.
+
+    Boundary crossing distances come from the intersection kernels
+    (reference r/e/a_torch, raytracer.py:248-552); a single-key
+    ``lax.sort`` orders them, and each segment between consecutive
+    crossings is labeled with the voxel containing its midpoint (see
+    :func:`_bin_segments` for why midpoint labels beat the reference's
+    entered-region forward fill).
 
     Args:
         gs: device grid spec.
@@ -133,7 +197,7 @@ def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None):
 
     Returns:
         regs: (3, *rays, M) voxel index triplet per sorted crossing
-            (negatives kept, exactly like reference raytracer.py:230).
+            (-1 where the segment is outside the grid or invalid).
         lens: (*rays, M) segment length per crossing; zero where invalid.
         ts: (*rays, M) sorted crossing distances (debugging / adjoint reuse).
     """
@@ -143,73 +207,29 @@ def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None):
     shape = jnp.broadcast_shapes(xs.shape, rays.shape)
     xs = jnp.broadcast_to(xs, shape)
     rays = jnp.broadcast_to(rays, shape)
+    rays_n = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
 
     r_b, e_b, a_b = gs.arrays()
-    r_t, r_reg, _, _ = sphere_crossings(r_b, xs, rays, itype=itype, ftype=ftype)
-    e_t, e_reg, _, _ = cone_crossings(e_b, xs, rays, itype=itype, ftype=ftype)
-    a_t, a_reg, _, _ = plane_crossings(
+    r_t, _, _, _ = sphere_crossings(r_b, xs, rays, itype=itype, ftype=ftype)
+    e_t, _, _, _ = cone_crossings(e_b, xs, rays, itype=itype, ftype=ftype)
+    a_t, _, _, _ = plane_crossings(
         a_b, xs, rays, full_azimuth=gs.full_azimuth, itype=itype, ftype=ftype
     )
-    start_reg = find_starts(r_b, e_b, a_b, xs, itype=itype, ftype=ftype)
 
-    inv = jnp.array(INVALID, dtype=itype)
-    nr2, ne2, na1 = r_t.shape[-1], e_t.shape[-1], a_t.shape[-1]
-
-    # the ray-start pseudo-crossing goes FIRST: lax.sort is stable, so a
-    # real crossing at exactly t=0 (ray starting on a boundary) sorts after
-    # the seed and wins the forward fill — the region *entered* along the
-    # ray direction beats the ambiguous boundary bin of the start point
-    # (the reference's unstable torch sort resolves this tie arbitrarily,
-    # raytracer.py:109-137)
+    # the ray-start pseudo-crossing at t=0 splits any segment straddling
+    # the start, so "behind the start" is exactly `ts < 0` per segment
+    # (reference raytracer.py:109-126)
     ts = jnp.concatenate(
         [jnp.zeros((*shape[:-1], 1), dtype=ftype), r_t, e_t, a_t], axis=-1
     )
-
-    def row(reg, offset, start_axis_reg):
-        """One axis row of the (3, …, M) region tensor: start region in the
-        t=0 slot, this axis's regions in its own column block, -2
-        elsewhere."""
-        parts = [
-            start_axis_reg[..., None].astype(itype),
-            jnp.full((*shape[:-1], nr2), inv),
-            jnp.full((*shape[:-1], ne2), inv),
-            jnp.full((*shape[:-1], na1), inv),
-        ]
-        parts[1 + offset] = reg.astype(itype)
-        return jnp.concatenate(parts, axis=-1)
-
-    reg_r = row(r_reg, 0, start_reg[0])
-    reg_e = row(e_reg, 1, start_reg[1])
-    reg_a = row(a_reg, 2, start_reg[2])
-
-    # crossings behind the ray start are invalid (reference raytracer.py:125-126)
-    behind = ts < 0
-    reg_r = jnp.where(behind, inv, reg_r)
-    reg_e = jnp.where(behind, inv, reg_e)
-    reg_a = jnp.where(behind, inv, reg_a)
-
-    # sort by distance, co-sorting all three region rows in one pass
-    ts_s, reg_r, reg_e, reg_a = jax.lax.sort(
-        (ts, reg_r, reg_e, reg_a), dimension=-1, num_keys=1
-    )
-
-    # forward-fill the -2 holes, seeded with the start voxel
-    reg_r = forward_fill(reg_r, start_reg[0])
-    reg_e = forward_fill(reg_e, start_reg[1])
-    reg_a = forward_fill(reg_a, start_reg[2])
+    ts_s = jax.lax.sort(ts, dimension=-1)
 
     # segment lengths; the final segment extends to infinity
-    lens = jnp.diff(ts_s, axis=-1, append=jnp.full((*shape[:-1], 1), jnp.inf, ftype))
-
-    valid = (
-        jnp.isfinite(lens)
-        & (reg_r >= 0) & (reg_r <= gs.nr - 1)
-        & (reg_e >= 0) & (reg_e <= gs.ne - 1)
-        & (reg_a >= 0) & (reg_a <= gs.na - 1)
+    lens_raw = jnp.diff(
+        ts_s, axis=-1, append=jnp.full((*shape[:-1], 1), jnp.inf, ftype)
     )
-    lens = jnp.where(valid, lens, 0.0)
-
-    regs = jnp.stack([reg_r, reg_e, reg_a], axis=0)
+    regs, valid = _bin_segments(gs, xs, rays_n, ts_s, lens_raw, itype)
+    lens = jnp.where(valid, lens_raw, 0.0)
     return regs, lens, ts_s
 
 
@@ -220,18 +240,16 @@ def trace_crossings_ranked(gs: GridSpec, xs, rays, itype=jnp.int32,
 
     XLA's variadic sort is ~15x slower on TPU than CPU, which made the
     sorted pipeline precompute-bound on device.  This formulation never
-    sorts: each boundary crossing changes exactly one voxel coordinate by
-    ±1, so the voxel triplet of the segment *starting* at crossing i is
+    sorts: the segment opened by crossing i ends at
 
-        region_axis(i) = start_axis + sum_j delta_axis[j] * [(t_j, j) <=lex (t_i, i), t_j >= 0]
+        min over j of {t_j : (t_i, i) <lex (t_j, j)}
 
-    and the segment length is ``min over j of {t_j : (t_i,i) <lex (t_j,j)} - t_i``
     — all-pairs comparisons (M x M per ray, M static) instead of a sort,
-    which compiles to dense batched matmuls/reductions.  Tie-breaking by
-    concatenation index reproduces the sorted pipeline's stable-sort
-    semantics exactly (including the ray-start pseudo-crossing at index 0
-    winning/losing ties the same way), and segments behind the ray start
-    keep the start voxel (the reference's interior-start quirk).
+    which compile to dense batched reductions.  Tie-breaking by
+    concatenation index gives each duplicate-`t` group one full segment
+    and zero-length rest, exactly like the sorted pipeline.  Segment
+    voxel labels come from :func:`_bin_segments` midpoint classification,
+    identical to the sorted pipeline's.
 
     Returns:
         regs: (3, *rays, M) voxel triplets per crossing-opened segment.
@@ -244,106 +262,32 @@ def trace_crossings_ranked(gs: GridSpec, xs, rays, itype=jnp.int32,
     shape = jnp.broadcast_shapes(xs.shape, rays.shape)
     xs = jnp.broadcast_to(xs, shape)
     rays = jnp.broadcast_to(rays, shape)
+    rays_n = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
     lead = shape[:-1]
 
     r_b, e_b, a_b = gs.arrays()
-    r_t, r_reg, r_ind, r_neg = sphere_crossings(r_b, xs, rays, itype=itype,
-                                                ftype=ftype)
-    e_t, e_reg, e_ind, e_neg = cone_crossings(e_b, xs, rays, itype=itype,
-                                              ftype=ftype)
-    a_t, a_reg, a_ind, a_neg = plane_crossings(
+    r_t, _, _, _ = sphere_crossings(r_b, xs, rays, itype=itype, ftype=ftype)
+    e_t, _, _, _ = cone_crossings(e_b, xs, rays, itype=itype, ftype=ftype)
+    a_t, _, _, _ = plane_crossings(
         a_b, xs, rays, full_azimuth=gs.full_azimuth, itype=itype,
         ftype=ftype)
-    start = find_starts_raw(r_b, e_b, a_b, xs, itype=itype, ftype=ftype)
 
-    one = jnp.ones((), itype)
-
-    # per-crossing coordinate deltas (0 where the crossing is a no-op)
-    dr = one - 2 * r_neg
-    # sphere double roots are tangencies (radius grazes the boundary):
-    # net bin change is zero, but both roots get the same sign — zero both
-    Br = gs.nr + 1
-    r_dup = jnp.isfinite(r_t[..., :Br]) & (r_t[..., :Br] == r_t[..., Br:])
-    dr = jnp.where(jnp.concatenate([r_dup, r_dup], axis=-1), 0, dr)
-
-    # Cone deltas need care around the degenerate cases the absolute
-    # (sorted) pipeline shrugs off:
-    #  * a root flagged glancing (prod≈0 → reference region -2) may be one
-    #    half of a TRANSVERSAL pair whose other half is real — its true
-    #    direction is the opposite of its partner's (the sign from prod is
-    #    unreliable there, which is why the reference invalidates it);
-    #  * both roots glancing = true tangency → net zero;
-    #  * exactly-equal double roots: the e=pi/2 equator plane always
-    #    degenerates to a double root but is a single transversal crossing
-    #    (count the near root only); on any other boundary an equal pair
-    #    is a snapped tangency (same sign twice) → zero both.
-    Be = gs.ne + 1
-    de_raw = one - 2 * e_neg
-    glanc = e_reg == INVALID
-    gn, gf = glanc[..., :Be], glanc[..., Be:]
-    dn, df = de_raw[..., :Be], de_raw[..., Be:]
-    dn = jnp.where(gn & ~gf, -df, dn)
-    df = jnp.where(gf & ~gn, -de_raw[..., :Be], df)
-    both_g = gn & gf
-    dn = jnp.where(both_g, 0, dn)
-    df = jnp.where(both_g, 0, df)
-    e_dup = jnp.isfinite(e_t[..., :Be]) & (e_t[..., :Be] == e_t[..., Be:])
-    is_equator = jnp.asarray(
-        np.isclose(np.cos(np.asarray(gs.e_b, np.float64)), 0.0, atol=1e-9))
-    dn = jnp.where(e_dup & ~is_equator, 0, dn)
-    df = jnp.where(e_dup, 0, df)
-    de = jnp.concatenate([dn, df], axis=-1)
-
-    da = one - 2 * a_neg
-    if gs.full_azimuth:
-        # the -pi and +pi half-planes are the same plane: count only one
-        da = jnp.where(a_ind == gs.na, 0, da)
-
-    nr2, ne2, na1 = r_t.shape[-1], e_t.shape[-1], a_t.shape[-1]
     zero_t = jnp.zeros((*lead, 1), dtype=ftype)
-    zero_d = jnp.zeros((*lead, 1), dtype=itype)
-    # pseudo-crossing first — same tie order as the sorted pipeline
+    # ray-start pseudo-crossing splits any segment straddling t=0
     ts = jnp.concatenate([zero_t, r_t, e_t, a_t], axis=-1)
-    dR = jnp.concatenate([zero_d, dr, jnp.zeros_like(de), jnp.zeros_like(da)],
-                         axis=-1)
-    dE = jnp.concatenate([zero_d, jnp.zeros_like(dr), de, jnp.zeros_like(da)],
-                         axis=-1)
-    dA = jnp.concatenate([zero_d, jnp.zeros_like(dr), jnp.zeros_like(de), da],
-                         axis=-1)
     M = ts.shape[-1]
-
-    # deltas of crossings behind the start never count
-    counted = ts >= 0
-    dR = jnp.where(counted, dR, 0)
-    dE = jnp.where(counted, dE, 0)
-    dA = jnp.where(counted, dA, 0)
 
     idx = jnp.arange(M, dtype=itype)
     ti = ts[..., :, None]
     tj = ts[..., None, :]
     le = (tj < ti) | ((tj == ti) & (idx[None, :] <= idx[:, None]))
-    # matmul-shaped accumulation: (…, M, M) @ (…, M, 3) on the MXU
-    deltas = jnp.stack([dR, dE, dA], axis=-1).astype(ftype)
-    sums = jnp.einsum("...ij,...jk->...ik", le.astype(ftype), deltas)
-    reg_r = start[0][..., None] + sums[..., 0].astype(itype)
-    reg_e = start[1][..., None] + sums[..., 1].astype(itype)
-    reg_a = start[2][..., None] + sums[..., 2].astype(itype)
-    if gs.full_azimuth:
-        reg_a = jnp.mod(reg_a, gs.na)
 
     # segment length: distance to the lexicographically-next crossing
-    gt = ~le
-    nxt = jnp.min(jnp.where(gt, tj, jnp.inf), axis=-1)
-    lens = nxt - ts
+    nxt = jnp.min(jnp.where(~le, tj, jnp.inf), axis=-1)
+    lens_raw = nxt - ts
 
-    valid = (
-        jnp.isfinite(lens)
-        & (reg_r >= 0) & (reg_r <= gs.nr - 1)
-        & (reg_e >= 0) & (reg_e <= gs.ne - 1)
-        & (reg_a >= 0) & (reg_a <= gs.na - 1)
-    )
-    lens = jnp.where(valid, lens, 0.0)
-    regs = jnp.stack([reg_r, reg_e, reg_a], axis=0)
+    regs, valid = _bin_segments(gs, xs, rays_n, ts, lens_raw, itype)
+    lens = jnp.where(valid, lens_raw, 0.0)
     return regs, lens, ts
 
 

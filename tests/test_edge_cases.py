@@ -97,3 +97,34 @@ def test_tangent_ray():
     xs = np.array([[-3.0, 0.5, 0.0]])
     rays = np.array([[1.0, 0.0, 0.0]])
     segment_midpoint_bins_match(grid, xs, rays)
+
+
+def test_near_axis_inside_nonunit_grid():
+    """Near-axis passage INSIDE the grid at r≈2.7 (needs r_max>2.7; on unit
+    grids the passage is outside and invisible, which hid this case).  The
+    entered-region event fill (reference pipeline) picks up a spurious
+    half-plane crossing there — the shadow test of several nearly-coincident
+    azimuth-plane crossings is decided by FP noise — and mislabels azimuth
+    for the REST of the ray (observed: off by two bins on CPU, correct on
+    TPU, for the same f64 inputs).  Midpoint labels stay geometrically
+    correct regardless of FP tie order."""
+    grid = SphericalGrid(shape=(8, 8, 8), size_r=(0, 5))
+    xs = np.broadcast_to(np.array([10.0, 1e-3, 2e-3]), (4, 3))
+    rays = np.array(
+        [
+            [-0.96592583, 0.0, 0.25881905],       # exactly in the y=0 plane
+            [-0.96592583, -1e-5, 0.25881905],     # grazing the -y side
+            [-0.96592583, +1e-5, 0.25881905],     # grazing the +y side
+            [-0.96592583, -1.3e-4, 0.25881905],   # the observed failure
+        ]
+    )
+    n = segment_midpoint_bins_match(grid, xs, rays)
+    assert n >= 40
+
+
+def test_hollow_inner_boundary_labels():
+    """Non-zero inner radius: segments on both sides of the hollow core."""
+    grid = SphericalGrid(shape=(8, 8, 8), size_r=(1, 5))
+    xs = np.broadcast_to(np.array([10.0, 1e-3, 2e-3]), (2, 3))
+    rays = np.array([[-0.99, 0.012, 0.11], [-1.0, 0.0, 0.0]])
+    segment_midpoint_bins_match(grid, xs, rays)

@@ -206,3 +206,30 @@ def test_trace_cache_roundtrip(tmp_path, monkeypatch):
     geom2 = ConeRectGeom((6, 6), pos=(3.0, 0, 0), fov=(40, 40))
     Operator(grid, geom2)
     assert len(list(tmp_path.glob("trace_*.npz"))) == 2
+
+
+def test_interior_viewer_half_line():
+    """A viewer inside the grid integrates only the forward path (here
+    from r=0.5 out through r=1 ⇒ ≈0.5).  The reference integrates the
+    whole line and dumps the behind-path into the start voxel despite
+    marking behind-start crossings invalid (raytracer.py:125-137) —
+    documented divergence; see tests/test_trace.py::test_start_inside_grid."""
+    from sph_raytracer_tpu import ViewGeom
+
+    grid = SphericalGrid(shape=(16, 8, 8))
+    geom = ViewGeom(np.array([[0.5, 1e-3, 1e-3]]), np.array([[1.0, 0, 0]]))
+    op = Operator(grid, geom, ftype=F64)
+    val = float(op(jnp.ones(grid.shape, F64))[0])
+    assert np.isclose(val, 0.5, atol=1e-2), val
+
+
+def test_fused_matches_precomputed_nonunit_grid():
+    """Cross-mode agreement on a non-unit grid with near-axis rays — the
+    config where event-fill labeling diverged between program shapes."""
+    grid = SphericalGrid(shape=(8, 8, 8), size_r=(0, 5))
+    geom = ConeRectGeom((6, 7), pos=(10.0, 1e-3, 2e-3), fov=(30, 30))
+    rng = np.random.default_rng(7)
+    d = jnp.asarray(rng.uniform(size=grid.shape), F64)
+    op_a = Operator(grid, geom, mode="precomputed", ftype=jnp.float64)
+    op_b = Operator(grid, geom, mode="fused", ftype=jnp.float64)
+    assert np.allclose(np.asarray(op_a(d)), np.asarray(op_b(d)), atol=1e-9)

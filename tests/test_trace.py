@@ -96,18 +96,21 @@ def test_chord_off_center():
 
 
 def test_start_inside_grid():
-    """Reference-parity quirk: for a ray starting *inside* the grid, the
-    pre-start (t<0) segments are forward-filled with the start voxel and
-    counted, so the whole line integrates — the PyTorch reference does the
-    same (verified against trace_indices; its own tests only use exterior
-    starts, test_raytracer.py:8-52).  A center start through the unit
-    sphere therefore yields the full diameter 2.0, not the radius."""
+    """Documented divergence: a ray starting *inside* the grid integrates
+    only the forward half-line.  The reference marks behind-the-start
+    crossings invalid (raytracer.py:125-126) but its forward fill then
+    relabels every pre-start segment with the START voxel and counts it
+    (raytracer.py:17-45 seeds holes with find_starts), so it integrates
+    the whole line — with all behind-path length dumped into one voxel.
+    We honor the reference's stated intent instead: t<0 segments are
+    excluded, so a center start through the unit sphere yields the radius
+    1.0, not the diameter."""
     grid = SphericalGrid(shape=(10, 10, 10))
     gs = GridSpec.from_grid(grid, ftype=jnp.float64)
     xs = jnp.asarray([[0.0, 0.0, 0.0]], F64)
     rays = jnp.asarray([[0.0, 1.0, 0.0]], F64)
     _, lens, _ = trace_crossings(gs, xs, rays)
-    assert np.isclose(float(lens.sum()), 2.0, atol=1e-2)
+    assert np.isclose(float(lens.sum()), 1.0, atol=1e-2)
 
 
 def test_miss_zero_length():
@@ -187,7 +190,9 @@ def test_ranked_trace_matches_sorted():
 
 
 def test_ranked_trace_interior_start():
-    """Interior starts keep the reference quirk (full line integrates)."""
+    """Interior starts integrate the forward half-line only, matching the
+    sorted pipeline (see test_start_inside_grid for the divergence from
+    the reference's behind-path-into-start-voxel fill)."""
     from sph_raytracer_tpu.ops.trace import trace_crossings_ranked
 
     grid = SphericalGrid(shape=(10, 10, 10))
@@ -195,4 +200,4 @@ def test_ranked_trace_interior_start():
     _, lens, _ = trace_crossings_ranked(
         gs, jnp.asarray([[0.0, 0.0, 0.0]], jnp.float64),
         jnp.asarray([[0.0, 1.0, 0.0]], jnp.float64))
-    assert np.isclose(float(lens.sum()), 2.0, atol=1e-2)
+    assert np.isclose(float(lens.sum()), 1.0, atol=1e-2)
