@@ -159,14 +159,25 @@ class Operator:
                 self._build_routed()
 
     # ------------------------------------------------------------------
-    def _pdevice(self):
-        """Precompute device (reference pdevice, raytracer.py:48-49):
-        trace on the host CPU backend when available next to a TPU —
-        XLA's variadic sort is ~15x slower on TPU."""
+    def _pdevice(self, need_host: bool = False):
+        """Precompute device (reference pdevice, raytracer.py:48-49).
+
+        ``'auto'`` traces on the accelerator itself when the tables stay
+        there (the single-key-sort pipeline runs 5.4 s vs 12.4 s on the
+        host CPU for the flagship 250k-ray trace; the old 4-operand
+        variadic sort was ~15x slower on TPU, which is why this used to
+        force the host).  When the caller needs host numpy tables
+        (``need_host`` — routed mode's router, or an on-disk cache write)
+        it traces on the host CPU: pulling 0.5 GB device→host through a
+        relayed TPU costs minutes, far more than the trace itself.
+        f64 traces also stay on the host (TPU has no native f64)."""
         pd = self.config.pdevice
         if pd == "auto":
             if jax.default_backend() == "cpu":
                 return None
+            if (not need_host
+                    and jnp.dtype(self.config.ftype) == jnp.float32):
+                return None  # trace on the accelerator, tables stay put
             try:
                 return jax.local_devices(backend="cpu")[0]
             except RuntimeError:
@@ -217,7 +228,7 @@ class Operator:
             return (jax.device_put(self._lin_host),
                     jax.device_put(self._lens_host),
                     int(z["n"]), tuple(z["rs"]))
-        dev = self._pdevice()
+        dev = self._pdevice(need_host=(not device) or cache is not None)
         ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
         with ctx:
             lin, lens, n, rs = precompute_table(

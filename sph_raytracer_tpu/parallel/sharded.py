@@ -151,6 +151,18 @@ class ShardedOperator(Operator):
         if mode == "auto":
             mode = ("routed" if jax.default_backend() == "tpu"
                     else "precomputed")
+        if (mode == "routed"
+                and jnp.dtype(self.config.ftype) != jnp.float32):
+            # same guard as Operator: the routed engine's tables are f32
+            # (TPU vector units have no f64); Mosaic rejects 64-bit types
+            if self.config.mode == "routed":
+                import warnings
+
+                warnings.warn(
+                    "routed mode requires float32 (its tables are f32); "
+                    "falling back to mode='precomputed' for "
+                    f"ftype={jnp.dtype(self.config.ftype).name}")
+            mode = "precomputed"
         self._mode = mode
         self._sharded_routed = None
         if mode == "routed":
@@ -212,7 +224,10 @@ class ShardedOperator(Operator):
         from .routed_sharded import put_sharded_tables, shard_routed_tables
 
         cfg = self.config
-        lin, lens, n, _ = self._traced_tables()
+        # host tables only (the router is numpy): device=False keeps the
+        # trace on the host CPU backend instead of pulling 0.5 GB back
+        # through a relayed TPU
+        lin, lens, n, _ = self._traced_tables(device=False)
         lin, lens = lin[:n], lens[:n]
         lin_h = getattr(self, "_lin_host", None)
         if lin_h is None or lin_h.shape[0] != n:

@@ -137,3 +137,15 @@ def test_sharded_banded_matches_single_device(setup):
     assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4)
     assert np.allclose(np.asarray(sop.T(y)), np.asarray(op32.T(y)),
                        atol=1e-4)
+
+
+def test_sharded_routed_f64_falls_back(setup):
+    """mode='routed' with a non-f32 ftype falls back to precomputed (the
+    routed tables are f32-only; Mosaic rejects 64-bit types) instead of
+    crashing in kernel lowering — same guard as the single-device Operator."""
+    grid, geom, op, x = setup
+    with pytest.warns(UserWarning, match="routed mode requires float32"):
+        sop = ShardedOperator(grid, geom, mesh=make_mesh(), mode="routed",
+                              ftype=jnp.float64)
+    assert sop._mode == "precomputed"
+    assert np.allclose(np.asarray(sop(x)), np.asarray(op(x)), atol=1e-10)
