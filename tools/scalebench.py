@@ -24,6 +24,12 @@ CONFIGS = {
     "vol64": ((64, 64, 64), 50, (50, 100)),
     "vol100": ((100, 100, 100), 50, (50, 100)),
     "det2x": ((50, 50, 50), 50, (100, 100)),
+    # BASELINE.json config #5 is 100^3, 200 views, (100,200) det = 4M rays
+    # sharded across a pod; one chip's shard is 200/16 ≈ 13 views.  The
+    # per-step collective a real pod adds is a psum of the 4 MB volume
+    # gradient — microseconds over ICI — so the per-chip shard throughput
+    # IS the expected pod per-chip number.
+    "config5_shard": ((100, 100, 100), 13, (100, 200)),
 }
 
 
