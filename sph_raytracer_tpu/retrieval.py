@@ -38,7 +38,7 @@ def detach_loss(loss):
 
 def gd(f, y, model, coeffs=None, num_iterations=100,
        loss_fns=None, optim=optax.adam, progress_bar=True,
-       chunk: int = 16, checkpoint_path: Optional[str] = None,
+       chunk: Optional[int] = None, checkpoint_path: Optional[str] = None,
        checkpoint_every: int = 0, resume: bool = False, **kwargs):
     """Gradient descent to minimize a weighted sum of losses.
 
@@ -63,7 +63,10 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
         progress_bar: show tqdm progress with F/R/O loss buckets
             (reference retrieval.py:109).
         chunk: iterations per compiled ``lax.scan`` chunk (device
-            round-trips happen once per chunk).
+            round-trips — loss-history fetch, Ctrl-C granularity —
+            happen once per chunk).  Default 16 on CPU, 100 on
+            accelerators, where per-dispatch latency (seconds through a
+            relayed TPU) would otherwise dominate millisecond steps.
         checkpoint_path / checkpoint_every: if set, save (coeffs, opt
             state, iteration) every N iterations; ``resume=True`` restarts
             from the checkpoint.
@@ -74,6 +77,8 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
     """
     if loss_fns is None:
         loss_fns = [SquareLoss()]
+    if chunk is None:
+        chunk = 16 if jax.default_backend() == "cpu" else 100
 
     if hasattr(f, "grid") and hasattr(model, "grid") and f.grid != model.grid:
         raise ValueError("f and model must have same grid")
