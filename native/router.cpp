@@ -3,17 +3,27 @@
 // Replaces the hot grouping/sorting passes of the numpy router
 // (sph_raytracer_tpu/ops/route.py) — several np.lexsort passes over ~17M
 // crossings (~50-170 s) — with two packed-key stable sorts plus linear
-// sweeps (~2-5 s).  The slot-assignment semantics replicate the numpy
+// sweeps.  The slot-assignment semantics replicate the numpy
 // implementation exactly (stable ties by original crossing index), so the
 // resulting tables are bit-identical; tests/test_routed.py checks this.
 //
-// Build: see native/Makefile (g++ -O3 -shared -fPIC).
+// Parallelism: the two big sorts use __gnu_parallel::stable_sort, and the
+// sweeps run OpenMP-parallel over independent spans — the gen pass is
+// independent per rowkey group, the column/reduce passes per
+// (rowkey, gen[, rep]) group.  Chunk enumeration collects one candidate
+// per (group, rep) span instead of sorting an n-element key vector, and
+// assigns chunk ids span-wise (no per-crossing binary search).  All
+// per-span outputs are order-independent across spans, so the parallel
+// version stays bit-identical to the sequential one.
+//
+// Build: see native/Makefile (g++ -O3 -fopenmp -shared -fPIC).
 // Interface: plain C ABI consumed through ctypes; all buffers are
 // allocated by the caller (numpy arrays).  Requires G <= 4096 and
 // rowkey < 2^38 (checked by the Python wrapper).
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <parallel/algorithm>
 #include <vector>
 
 namespace {
@@ -25,6 +35,18 @@ struct KeyIdx {
 
 inline bool key_less(const KeyIdx& x, const KeyIdx& y) {
   return x.key < y.key;
+}
+
+// Start indices of maximal runs of equal `key(i)` over sorted order
+// [0, n).  Returns starts plus a trailing n sentinel.
+template <class F>
+std::vector<int64_t> run_starts(int64_t n, F key) {
+  std::vector<int64_t> starts;
+  starts.push_back(0);
+  for (int64_t i = 1; i < n; ++i)
+    if (key(i) != key(i - 1)) starts.push_back(i);
+  starts.push_back(n);
+  return starts;
 }
 
 }  // namespace
@@ -53,69 +75,73 @@ int64_t route_assign(
 
   // ---- pass 1: stable sort by (rowkey, p, lv) --------------------------
   std::vector<KeyIdx> a(n);
+#pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     a[i].key = (static_cast<uint64_t>(rowkey[i]) << 19) |
                (static_cast<uint64_t>(p[i]) << 7) |
                static_cast<uint64_t>(lv[i]);
     a[i].idx = static_cast<int32_t>(i);
   }
-  std::stable_sort(a.begin(), a.end(), key_less);
+  __gnu_parallel::stable_sort(a.begin(), a.end(), key_less);
 
   // Spill generations (matching the numpy router exactly): the binding
   // constraint is ≤ KD runs per (rowkey, rep, lp).  Generations are only
   // applied when that constraint is violated somewhere, and then every
   // run takes generation = global-rank-per-(rowkey, lp) / KD (the numpy
   // one-shot).  With no violations all generations stay 0.
+  // Each rowkey group's state (per-rep and global lane counters, run
+  // occupancy) is independent → parallel over rowkey groups.
   std::vector<int32_t> gen(n);
   bool violated = false;
   {
-    int32_t cnt_rep[128];
-    int32_t cnt_glob[128];
-    int64_t cur_rk = -1;
-    int64_t cur_rep = -1;
-    int64_t occ = 0;
-    int64_t i = 0;
-    while (i < n) {
-      int32_t idx = a[i].idx;
-      int64_t rk = rowkey[idx];
-      if (rk != cur_rk) {
-        std::memset(cnt_rep, 0, sizeof(cnt_rep));
-        std::memset(cnt_glob, 0, sizeof(cnt_glob));
-        cur_rk = rk;
-        cur_rep = -1;
-        occ = 0;
+    auto groups = run_starts(n, [&](int64_t i) { return a[i].key >> 19; });
+    const int64_t ng = static_cast<int64_t>(groups.size()) - 1;
+#pragma omp parallel for schedule(dynamic, 64) reduction(|| : violated)
+    for (int64_t g = 0; g < ng; ++g) {
+      int32_t cnt_rep[128];
+      int32_t cnt_glob[128];
+      std::memset(cnt_rep, 0, sizeof(cnt_rep));
+      std::memset(cnt_glob, 0, sizeof(cnt_glob));
+      int64_t cur_rep = -1;
+      int64_t occ = 0;
+      int64_t i = groups[g];
+      const int64_t end = groups[g + 1];
+      while (i < end) {
+        int32_t idx = a[i].idx;
+        int64_t rep_here = occ / LANES;
+        if (rep_here != cur_rep) {
+          std::memset(cnt_rep, 0, sizeof(cnt_rep));
+          cur_rep = rep_here;
+        }
+        int32_t pv = p[idx];
+        int64_t j = i;
+        while (j < end) {
+          int32_t id2 = a[j].idx;
+          if (p[id2] != pv) break;
+          if (j > i && (occ % LANES) == 0) break;  // rep boundary splits run
+          ++occ;
+          ++j;
+        }
+        int32_t l = lp[idx];
+        if (cnt_rep[l] >= KD) violated = true;
+        ++cnt_rep[l];
+        int32_t gv = cnt_glob[l] / KD;
+        ++cnt_glob[l];
+        for (int64_t t = i; t < j; ++t) gen[a[t].idx] = gv;
+        i = j;
       }
-      int64_t rep_here = occ / LANES;
-      if (rep_here != cur_rep) {
-        std::memset(cnt_rep, 0, sizeof(cnt_rep));
-        cur_rep = rep_here;
-      }
-      int32_t pv = p[idx];
-      int64_t j = i;
-      while (j < n) {
-        int32_t id2 = a[j].idx;
-        if (rowkey[id2] != rk || p[id2] != pv) break;
-        if (j > i && (occ % LANES) == 0) break;  // rep boundary splits run
-        ++occ;
-        ++j;
-      }
-      int32_t l = lp[idx];
-      if (cnt_rep[l] >= KD) violated = true;
-      ++cnt_rep[l];
-      int32_t g = cnt_glob[l] / KD;
-      ++cnt_glob[l];
-      for (int64_t t = i; t < j; ++t) gen[a[t].idx] = g;
-      i = j;
     }
   }
   if (!violated) std::fill(gen.begin(), gen.end(), 0);
 
   // ---- pass 2: stable sort by (rowkey, gen, p, lv) ---------------------
   int32_t gen_max = 0;
+#pragma omp parallel for schedule(static) reduction(max : gen_max)
   for (int64_t i = 0; i < n; ++i) gen_max = std::max(gen_max, gen[i]);
   int gbits = 1;
   while ((1 << gbits) <= gen_max) ++gbits;
   std::vector<KeyIdx> b(n);
+#pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     b[i].key = (((static_cast<uint64_t>(rowkey[i]) << gbits) |
                  static_cast<uint64_t>(gen[i]))
@@ -124,27 +150,44 @@ int64_t route_assign(
                static_cast<uint64_t>(lv[i]);
     b[i].idx = static_cast<int32_t>(i);
   }
-  std::stable_sort(b.begin(), b.end(), key_less);
+  __gnu_parallel::stable_sort(b.begin(), b.end(), key_less);
 
-  // ---- sweep: columns + reps -------------------------------------------
+  // ---- sweep: columns + reps; collect (group, rep) spans ---------------
+  // Span = maximal contiguous range of b with equal (rowkey, gen) AND
+  // equal rep (occ/LANES); one chunk candidate per span.
+  struct Span {
+    int64_t begin, end;  // range in b
+    int64_t tsgv;
+    int32_t genv, rep;
+  };
   std::vector<int32_t> repdiv(n);
+  std::vector<Span> spans;
   {
-    int64_t i = 0;
-    while (i < n) {
-      uint64_t grp = b[i].key >> 19;
-      int64_t j = i;
-      int32_t occ = 0;
-      while (j < n && (b[j].key >> 19) == grp) {
-        repdiv[b[j].idx] = occ / LANES;
+    auto groups = run_starts(n, [&](int64_t i) { return b[i].key >> 19; });
+    const int64_t ng = static_cast<int64_t>(groups.size()) - 1;
+    std::vector<std::vector<Span>> tspans(ng);
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t g = 0; g < ng; ++g) {
+      const int64_t beg = groups[g], end = groups[g + 1];
+      int32_t idx0 = b[beg].idx;
+      int64_t span_beg = beg;
+      for (int64_t j = beg; j < end; ++j) {
+        int64_t occ = j - beg;
+        int32_t rep = static_cast<int32_t>(occ / LANES);
+        repdiv[b[j].idx] = rep;
         col_out[b[j].idx] = static_cast<uint8_t>(occ % LANES);
-        ++occ;
-        ++j;
+        if ((occ + 1) % LANES == 0 || j + 1 == end) {
+          tspans[g].push_back(Span{span_beg, j + 1, tsg[idx0],
+                                   gen[idx0], rep});
+          span_beg = j + 1;
+        }
       }
-      i = j;
     }
+    for (int64_t g = 0; g < ng; ++g)
+      spans.insert(spans.end(), tspans[g].begin(), tspans[g].end());
   }
 
-  // ---- chunk enumeration: unique (tsg, gen, repdiv) ascending ----------
+  // ---- chunk enumeration: unique (tsg, gen, rep) ascending -------------
   struct CK {
     int64_t tsgv;
     int32_t genv, rep;
@@ -158,17 +201,20 @@ int64_t route_assign(
     }
   };
   std::vector<CK> uniq;
-  uniq.reserve(1 << 16);
-  for (int64_t i = 0; i < n; ++i)
-    uniq.push_back(CK{tsg[i], gen[i], repdiv[i]});
+  uniq.reserve(spans.size());
+  for (const Span& s : spans) uniq.push_back(CK{s.tsgv, s.genv, s.rep});
   std::sort(uniq.begin(), uniq.end());
   uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
   int64_t NC = static_cast<int64_t>(uniq.size());
   if (NC > chunk_cap) return -1;
-  for (int64_t i = 0; i < n; ++i) {
-    CK c{tsg[i], gen[i], repdiv[i]};
-    int64_t lo = std::lower_bound(uniq.begin(), uniq.end(), c) - uniq.begin();
-    chunk_of[i] = static_cast<int32_t>(lo);
+  const int64_t ns = static_cast<int64_t>(spans.size());
+#pragma omp parallel for schedule(dynamic, 256)
+  for (int64_t s = 0; s < ns; ++s) {
+    CK c{spans[s].tsgv, spans[s].genv, spans[s].rep};
+    int32_t id = static_cast<int32_t>(
+        std::lower_bound(uniq.begin(), uniq.end(), c) - uniq.begin());
+    for (int64_t t = spans[s].begin; t < spans[s].end; ++t)
+      chunk_of[b[t].idx] = id;
   }
   for (int64_t c = 0; c < NC; ++c) {
     chunk_sg[c] = static_cast<int32_t>(uniq[c].tsgv % NSG);
@@ -176,76 +222,160 @@ int64_t route_assign(
   }
 
   // ---- reduce-pass k + run ends + permutation (per (chunk,row) group) --
+  // One group = one span (equal (rowkey, gen, rep)); spans share no
+  // output slots → parallel over spans.
   std::memset(kpass, 0, n);
   std::memset(runend, 0, n);
   int32_t mr_fwd = 1, mr_bwd = 1;
-  {
+  bool kd_fail = false;
+#pragma omp parallel for schedule(dynamic, 256) \
+    reduction(max : mr_fwd, mr_bwd) reduction(|| : kd_fail)
+  for (int64_t s = 0; s < ns; ++s) {
     int32_t cnt[128];
     std::pair<int32_t, int32_t> tmp[128];  // (lv, col)
     int32_t owner[128];
     int32_t orderv[128];
-    int64_t i = 0;
-    while (i < n) {
-      uint64_t grp = b[i].key >> 19;
-      int32_t rd = repdiv[b[i].idx];
-      int64_t j = i;
-      int32_t m = 0;
-      while (j < n && (b[j].key >> 19) == grp && repdiv[b[j].idx] == rd) {
-        int32_t id2 = b[j].idx;
-        tmp[m] = {lv[id2], static_cast<int32_t>(col_out[id2])};
-        owner[m] = id2;
-        ++m;
-        ++j;
-      }
-      // reduce passes: runs of equal p within the group
-      std::memset(cnt, 0, sizeof(cnt));
-      {
-        int32_t s = 0;
-        while (s < m) {
-          int32_t e = s;
-          int32_t pv = p[owner[s]];
-          while (e < m && p[owner[e]] == pv) ++e;
-          int32_t l = lp[owner[s]];
-          int32_t k = cnt[l]++;
-          if (k >= KD) return -2;
-          // every column of the run carries its pass (kcol table) and its
-          // 0-based position in the run (the forward scan's rpos mask);
-          // the reduce tables only read kpass at the run end
-          for (int32_t t2 = s; t2 < e; ++t2) {
-            kpass[owner[t2]] = static_cast<uint8_t>(k);
-            rposf[owner[t2]] = static_cast<uint8_t>(t2 - s);
-          }
-          runend[owner[e - 1]] = 1;
-          mr_fwd = std::max(mr_fwd, e - s);
-          s = e;
+    const int64_t beg = spans[s].begin, end = spans[s].end;
+    int32_t m = 0;
+    for (int64_t j = beg; j < end; ++j) {
+      int32_t id2 = b[j].idx;
+      tmp[m] = {lv[id2], static_cast<int32_t>(col_out[id2])};
+      owner[m] = id2;
+      ++m;
+    }
+    // reduce passes: runs of equal p within the group
+    std::memset(cnt, 0, sizeof(cnt));
+    {
+      int32_t st = 0;
+      while (st < m) {
+        int32_t e = st;
+        int32_t pv = p[owner[st]];
+        while (e < m && p[owner[e]] == pv) ++e;
+        int32_t l = lp[owner[st]];
+        int32_t k = cnt[l]++;
+        if (k >= KD) {
+          kd_fail = true;
+          break;
         }
-      }
-      // backward permutation: (lv, col)-sorted positions
-      for (int32_t t = 0; t < m; ++t) orderv[t] = t;
-      std::stable_sort(orderv, orderv + m, [&](int32_t x, int32_t y) {
-        if (tmp[x].first != tmp[y].first) return tmp[x].first < tmp[y].first;
-        return tmp[x].second < tmp[y].second;
-      });
-      int32_t runlen = 0;
-      for (int32_t t = 0; t < m; ++t) {
-        int32_t src = orderv[t];
-        ppos[owner[src]] = static_cast<uint8_t>(t);
-        rposb[owner[src]] = static_cast<uint8_t>(runlen);
-        bool last =
-            (t == m - 1) || (tmp[orderv[t + 1]].first != tmp[src].first);
-        lastp[owner[src]] = last ? 1 : 0;
-        ++runlen;
-        if (last) {
-          mr_bwd = std::max(mr_bwd, runlen);
-          runlen = 0;
+        // every column of the run carries its pass (kcol table) and its
+        // 0-based position in the run (the forward scan's rpos mask);
+        // the reduce tables only read kpass at the run end
+        for (int32_t t2 = st; t2 < e; ++t2) {
+          kpass[owner[t2]] = static_cast<uint8_t>(k);
+          rposf[owner[t2]] = static_cast<uint8_t>(t2 - st);
         }
+        runend[owner[e - 1]] = 1;
+        mr_fwd = std::max(mr_fwd, e - st);
+        st = e;
       }
-      i = j;
+    }
+    // backward permutation: (lv, col)-sorted positions
+    for (int32_t t = 0; t < m; ++t) orderv[t] = t;
+    std::stable_sort(orderv, orderv + m, [&](int32_t x, int32_t y) {
+      if (tmp[x].first != tmp[y].first) return tmp[x].first < tmp[y].first;
+      return tmp[x].second < tmp[y].second;
+    });
+    int32_t runlen = 0;
+    for (int32_t t = 0; t < m; ++t) {
+      int32_t src = orderv[t];
+      ppos[owner[src]] = static_cast<uint8_t>(t);
+      rposb[owner[src]] = static_cast<uint8_t>(runlen);
+      bool last =
+          (t == m - 1) || (tmp[orderv[t + 1]].first != tmp[src].first);
+      lastp[owner[src]] = last ? 1 : 0;
+      ++runlen;
+      if (last) {
+        mr_bwd = std::max(mr_bwd, runlen);
+        runlen = 0;
+      }
     }
   }
+  if (kd_fail) return -2;
   *max_run_fwd = mr_fwd;
   *max_run_bwd = mr_bwd;
   return NC;
+}
+
+// Scatter every per-crossing layout field into the final (NR, 128) table
+// arrays in one parallel pass (the numpy equivalent does 15 separate
+// fancy-indexed scatters — latency-bound random writes — plus full-array
+// fills; see _fill_tables_native in ops/route.py, which this replaces
+// bit-identically).  All destination slots are unique per crossing, so
+// the parallel writes never collide.
+void fill_tables(
+    const int32_t* chunk_of, const uint8_t* col, const uint8_t* kpass,
+    const uint8_t* runend, const uint8_t* ppos, const uint8_t* lastp,
+    const uint8_t* rposf_in, const uint8_t* rposb_in,
+    const int8_t* hi, const int16_t* lp, const int16_t* lv,
+    const int16_t* qoff, const float* w,
+    int64_t n, int32_t SR, int32_t KD, int64_t NR,
+    int8_t* lvw, float* wt, int8_t* hi8, int8_t* lp8, int8_t* kcolt,
+    int8_t* rposf_t, int8_t* rposb_t, float* wp, int8_t* lp8p,
+    int8_t* kcolp, int8_t* perm, int8_t* put, int8_t* putv,
+    int8_t* src, int8_t* hik) {
+  const int64_t LANES = 128;
+  const int64_t NT = NR * LANES;
+  // zero / default fills (parallel; memset is fine for the zeros)
+#pragma omp parallel sections
+  {
+#pragma omp section
+    {
+      std::memset(lvw, 0, NT);
+      std::memset(hi8, 0, NT);
+      std::memset(lp8, 0, NT);
+      std::memset(kcolt, 0, NT);
+    }
+#pragma omp section
+    {
+      std::memset(wt, 0, NT * sizeof(float));
+      std::memset(wp, 0, NT * sizeof(float));
+    }
+#pragma omp section
+    {
+      std::memset(rposf_t, 0, NT);
+      std::memset(rposb_t, 0, NT);
+      std::memset(lp8p, 0, NT);
+      std::memset(kcolp, 0, NT);
+    }
+#pragma omp section
+    {
+      std::memset(put, 0, NT);
+      std::memset(putv, 0, NT);
+      std::memset(src, 0, NT * KD);
+      std::memset(hik, 0xFF, NT * KD);  // -1
+      for (int64_t r = 0; r < NR; ++r)
+        for (int64_t l = 0; l < LANES; ++l)
+          perm[r * LANES + l] = static_cast<int8_t>(l);
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t row =
+        static_cast<int64_t>(chunk_of[i]) * SR + qoff[i];
+    const int64_t fc = row * LANES + col[i];
+    const int64_t fp = row * LANES + ppos[i];
+    lvw[fc] = static_cast<int8_t>(lv[i]);
+    wt[fc] = w[i];
+    hi8[fc] = hi[i];
+    lp8[fc] = static_cast<int8_t>(lp[i]);
+    kcolt[fc] = static_cast<int8_t>(kpass[i]);
+    rposf_t[fc] = static_cast<int8_t>(rposf_in[i]);
+    rposb_t[fp] = static_cast<int8_t>(rposb_in[i]);
+    wp[fp] = w[i];
+    lp8p[fp] = static_cast<int8_t>(lp[i]);
+    kcolp[fp] = static_cast<int8_t>(kpass[i]);
+    perm[fp] = static_cast<int8_t>(col[i]);
+    if (runend[i]) {
+      const int64_t fs = (kpass[i] * NR + row) * LANES + lp[i];
+      src[fs] = static_cast<int8_t>(col[i]);
+      hik[fs] = hi[i];
+    }
+    if (lastp[i]) {
+      const int64_t fe = row * LANES + lv[i];
+      put[fe] = static_cast<int8_t>(ppos[i]);
+      putv[fe] = 1;
+    }
+  }
 }
 
 }  // extern "C"

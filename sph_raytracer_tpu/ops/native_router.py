@@ -15,7 +15,9 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["native_assign", "available", "build_native"]
+__all__ = ["native_assign", "native_fill", "available", "build_native"]
+
+LANES = 128
 
 _LIB = None
 _TRIED = False
@@ -65,6 +67,18 @@ def _load():
         ctypes.c_int64, i32p, i32p,                # chunk_cap, sg, tile
         i32p, i32p,                                # max_run_fwd/bwd
     ]
+    if hasattr(lib, "fill_tables"):
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.fill_tables.restype = None
+        lib.fill_tables.argtypes = (
+            [i32p] + [u8p] * 7                       # chunk_of + na fields
+            + [i8p, i16p, i16p, i16p, f32p]          # hi, lp, lv, qoff, w
+            + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+               ctypes.c_int64]                       # n, SR, KD, NR
+            + [i8p, f32p] + [i8p] * 5 + [f32p] + [i8p] * 7  # out tables
+        )
     _LIB = lib
     return _LIB
 
@@ -133,3 +147,60 @@ def native_assign(rowkey, tsg, p, lv, lp, NSG: int, SR: int, KD: int
         chunk_sg=chunk_sg[:NC].copy(), chunk_tile=chunk_tile[:NC].copy(),
         NC=NC, max_run_fwd=int(mrf.value), max_run_bwd=int(mrb.value),
     )
+
+
+def native_fill(na: dict, hi, lp, lv, qoff, w, SR: int, KD: int, NR: int
+                ) -> Optional[tuple]:
+    """Scatter all per-crossing fields into the (NR, 128) tables in one
+    native pass (bit-identical to the numpy scatters in
+    ``_fill_tables_native``).  Returns the 15 table arrays, or None if the
+    native library (or its fill_tables symbol) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fill_tables"):
+        return None
+    n = int(na["chunk_of"].shape[0])
+
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    hi = np.ascontiguousarray(hi, np.int8)
+    lp = np.ascontiguousarray(lp, np.int16)
+    lv = np.ascontiguousarray(lv, np.int16)
+    qoff = np.ascontiguousarray(qoff, np.int16)
+    w = np.ascontiguousarray(w, np.float32)
+
+    lvw = np.empty((NR, LANES), np.int8)
+    wt = np.empty((NR, LANES), np.float32)
+    hi8 = np.empty((NR, LANES), np.int8)
+    lp8 = np.empty((NR, LANES), np.int8)
+    kcolt = np.empty((NR, LANES), np.int8)
+    rposf_t = np.empty((NR, LANES), np.int8)
+    rposb_t = np.empty((NR, LANES), np.int8)
+    wp = np.empty((NR, LANES), np.float32)
+    lp8p = np.empty((NR, LANES), np.int8)
+    kcolp = np.empty((NR, LANES), np.int8)
+    perm = np.empty((NR, LANES), np.int8)
+    put = np.empty((NR, LANES), np.int8)
+    putv = np.empty((NR, LANES), np.int8)
+    src = np.empty((KD, NR, LANES), np.int8)
+    hik = np.empty((KD, NR, LANES), np.int8)
+
+    def P(a, t):
+        return a.ctypes.data_as(t)
+
+    lib.fill_tables(
+        P(na["chunk_of"], i32p), P(na["col"], u8p), P(na["kpass"], u8p),
+        P(na["runend"], u8p), P(na["ppos"], u8p), P(na["lastp"], u8p),
+        P(na["rposf"], u8p), P(na["rposb"], u8p),
+        P(hi, i8p), P(lp, i16p), P(lv, i16p), P(qoff, i16p), P(w, f32p),
+        n, SR, KD, NR,
+        P(lvw, i8p), P(wt, f32p), P(hi8, i8p), P(lp8, i8p), P(kcolt, i8p),
+        P(rposf_t, i8p), P(rposb_t, i8p), P(wp, f32p), P(lp8p, i8p),
+        P(kcolp, i8p), P(perm, i8p), P(put, i8p), P(putv, i8p),
+        P(src, i8p), P(hik, i8p),
+    )
+    return (lvw, wt, hi8, lp8, kcolt, rposf_t, rposb_t, wp, lp8p, kcolp,
+            perm, put, putv, src, hik)

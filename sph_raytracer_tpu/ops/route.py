@@ -218,21 +218,26 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     NSG = H // SR
 
     keep = lens > 0
-    ray = np.broadcast_to(np.arange(R)[:, None], (R, M))[keep].astype(np.int64)
-    v = lin[keep].astype(np.int64)
+    # int32 index math where the ranges allow (they do for any practical
+    # config: rowkey < 2^31 needs T·NSG·SR < 2^31) — halves the memory
+    # traffic of these ~15 full passes over the live-crossing arrays
+    small = R < 2**31 and volume_size < 2**31 and T * NSG * SR < 2**31
+    idt = np.int32 if small else np.int64
+    ray, _ = np.nonzero(keep)  # row index of each live crossing, sorted
+    ray = ray.astype(idt, copy=False)
+    v = lin[keep].astype(idt, copy=False)
     w = lens[keep]
     n_live = int(v.shape[0])
     if n_live == 0:
         return _empty_tables(SR, KD, G, HI, T, H, R, volume_size)
 
-    tile = ray // G
-    p = ray % G
+    tile, p = np.divmod(ray, G)
     hi = (p // LANES).astype(np.int8)
     lp = (p % LANES).astype(np.int16)
-    q = v // LANES
-    lv = (v % LANES).astype(np.int16)
-    sg = q // SR
-    qoff = (q % SR).astype(np.int16)
+    q, lvw_ = np.divmod(v, LANES)
+    lv = lvw_.astype(np.int16)
+    sg, qoff_ = np.divmod(q, SR)
+    qoff = qoff_.astype(np.int16)
 
     rowkey = (tile * NSG + sg) * SR + qoff
 
@@ -430,46 +435,57 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
     ppos = na["ppos"].astype(np.int64)
     lastp = na["lastp"] == 1
 
-    lvw = np.zeros((NR, LANES), np.int8)
-    wt = np.zeros((NR, LANES), np.float32)
-    hi8 = np.zeros((NR, LANES), np.int8)
-    lp8 = np.zeros((NR, LANES), np.int8)
-    lvw[rows, col] = lv.astype(np.int8)
-    wt[rows, col] = w
-    hi8[rows, col] = hi
-    lp8[rows, col] = lp.astype(np.int8)
+    # The random scatters dominate this function's cost (latency-bound
+    # 17M-element writes into ~50M-slot arrays); when the native library
+    # is present they all happen in one OpenMP pass over the crossings.
+    from .native_router import native_fill
 
-    src = np.zeros((KD, NR, LANES), np.int8)
-    hik = np.full((KD, NR, LANES), -1, np.int8)
-    src[k[ends], rows[ends], lp[ends]] = col[ends].astype(np.int8)
-    hik[k[ends], rows[ends], lp[ends]] = hi[ends]
-    kcolt = np.zeros((NR, LANES), np.int8)
-    kcolt[rows, col] = k.astype(np.int8)
+    filled = native_fill(na, hi, lp, lv, qoff, w, SR, KD, NR)
+    if filled is not None:
+        (lvw, wt, hi8, lp8, kcolt, rposf_t, rposb_t, wp, lp8p, kcolp,
+         perm, put, putv, src, hik) = filled
+    else:
+        lvw = np.zeros((NR, LANES), np.int8)
+        wt = np.zeros((NR, LANES), np.float32)
+        hi8 = np.zeros((NR, LANES), np.int8)
+        lp8 = np.zeros((NR, LANES), np.int8)
+        lvw[rows, col] = lv.astype(np.int8)
+        wt[rows, col] = w
+        hi8[rows, col] = hi
+        lp8[rows, col] = lp.astype(np.int8)
+
+        src = np.zeros((KD, NR, LANES), np.int8)
+        hik = np.full((KD, NR, LANES), -1, np.int8)
+        src[k[ends], rows[ends], lp[ends]] = col[ends].astype(np.int8)
+        hik[k[ends], rows[ends], lp[ends]] = hi[ends]
+        kcolt = np.zeros((NR, LANES), np.int8)
+        kcolt[rows, col] = k.astype(np.int8)
+        rposf_t = np.zeros((NR, LANES), np.int8)
+        rposf_t[rows, col] = na["rposf"].astype(np.int8)
+        rposb_t = np.zeros((NR, LANES), np.int8)
+        rposb_t[rows, ppos] = na["rposb"].astype(np.int8)
+        wp = np.zeros((NR, LANES), np.float32)
+        wp[rows, ppos] = w
+        lp8p = np.zeros((NR, LANES), np.int8)
+        lp8p[rows, ppos] = lp.astype(np.int8)
+        kcolp = np.zeros((NR, LANES), np.int8)
+        kcolp[rows, ppos] = k.astype(np.int8)
+
+        perm = np.zeros((NR, LANES), np.int8)
+        perm[:] = np.arange(LANES, dtype=np.int8)[None, :]
+        perm[rows, ppos] = col.astype(np.int8)
+        put = np.zeros((NR, LANES), np.int8)
+        putv = np.zeros((NR, LANES), np.int8)
+        put[rows[lastp], lv[lastp]] = ppos[lastp].astype(np.int8)
+        putv[rows[lastp], lv[lastp]] = 1
+
     kmax_c = np.zeros(NC, np.int32)
     np.maximum.at(kmax_c, na["chunk_of"], k.astype(np.int32))
-    rposf_t = np.zeros((NR, LANES), np.int8)
-    rposf_t[rows, col] = na["rposf"].astype(np.int8)
-    rposb_t = np.zeros((NR, LANES), np.int8)
-    rposb_t[rows, ppos] = na["rposb"].astype(np.int8)
     # per-chunk scan depths from run lengths (rpos at run end + 1)
     sdf = _chunk_depths(na["chunk_of"][ends],
                         na["rposf"][ends].astype(np.int64) + 1, NC)
     sdb = _chunk_depths(na["chunk_of"][lastp],
                         na["rposb"][lastp].astype(np.int64) + 1, NC)
-    wp = np.zeros((NR, LANES), np.float32)
-    wp[rows, ppos] = w
-    lp8p = np.zeros((NR, LANES), np.int8)
-    lp8p[rows, ppos] = lp.astype(np.int8)
-    kcolp = np.zeros((NR, LANES), np.int8)
-    kcolp[rows, ppos] = k.astype(np.int8)
-
-    perm = np.zeros((NR, LANES), np.int8)
-    perm[:] = np.arange(LANES, dtype=np.int8)[None, :]
-    perm[rows, ppos] = col.astype(np.int8)
-    put = np.zeros((NR, LANES), np.int8)
-    putv = np.zeros((NR, LANES), np.int8)
-    put[rows[lastp], lv[lastp]] = ppos[lastp].astype(np.int8)
-    putv[rows[lastp], lv[lastp]] = 1
 
     sg_c = na["chunk_sg"]
     tile_c = na["chunk_tile"]
