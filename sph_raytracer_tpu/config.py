@@ -56,14 +56,18 @@ class TraceConfig:
     # alongside a TPU.  None = trace on the default backend.
     pdevice: Optional[str] = "auto"
     # lane-routed engine parameters (ops/route.py): rays per tile, window
-    # rows, reduce passes.  Measured flagship sweet spot on v5e.
-    routed_g: int = 2048
+    # rows, reduce passes.  Measured flagship sweet spot on v5e: G=4096
+    # (the packed-key / int8-HI ceiling) packs the 128 slot columns ~50%
+    # full vs 34% at G=2048 — fewer, fuller superchunks cut both the
+    # per-grid-step overhead and the table bytes streamed (fwd 4.3→3.8 ms,
+    # bwd 5.2→3.7 ms with B=16).
+    routed_g: int = 4096
     routed_sr: int = 64
     routed_kd: int = 3
     # band-compacted engine (TPU): SR=8 routing packed into B-band
     # superchunks; only live density bands occupy table slots
     routed_banded: bool = True
-    routed_bands: int = 8
+    routed_bands: int = 16
     # superchunk-count padding multiple (compile-cache hits across
     # geometries); tests use small values to exercise unequal fwd/bwd
     # grouping sizes
