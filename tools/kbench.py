@@ -35,11 +35,11 @@ def main():
 
     cfg = TraceConfig(
         mode="auto",
-        routed_g=int(os.environ.get("SPH_G", 2048)),
+        routed_g=int(os.environ.get("SPH_G", 4096)),
         routed_sr=int(os.environ.get("SPH_SR", 64)),
         routed_kd=int(os.environ.get("SPH_KD", 3)),
         routed_banded=os.environ.get("SPH_BANDED", "1") == "1",
-        routed_bands=int(os.environ.get("SPH_BANDS", 8)),
+        routed_bands=int(os.environ.get("SPH_BANDS", 16)),
     )
     t0 = time.time()
     op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
