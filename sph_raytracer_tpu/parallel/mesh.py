@@ -24,11 +24,19 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = RAY_AXIS) -> Mesh:
     """1-D device mesh over the ray axis.
 
     Args:
-        devices: devices to include (default ``jax.devices()``).
+        devices: devices to include — a sequence of jax devices, or an
+            int to take the first N of ``jax.devices()`` (default all).
         axis: mesh axis name.
     """
-    devices = list(devices if devices is not None else jax.devices())
-    return Mesh(np.asarray(devices), (axis,))
+    if devices is None:
+        devices = jax.devices()
+    elif isinstance(devices, int):
+        avail = jax.devices()
+        if devices > len(avail):
+            raise ValueError(
+                f"make_mesh({devices}) but only {len(avail)} devices")
+        devices = avail[:devices]
+    return Mesh(np.asarray(list(devices)), (axis,))
 
 
 def distributed_init(coordinator_address=None, num_processes=None,

@@ -149,3 +149,11 @@ def test_sharded_routed_f64_falls_back(setup):
                               ftype=jnp.float64)
     assert sop._mode == "precomputed"
     assert np.allclose(np.asarray(sop(x)), np.asarray(op(x)), atol=1e-10)
+
+
+def test_make_mesh_int():
+    """make_mesh accepts a device count."""
+    m = make_mesh(4)
+    assert m.devices.size == 4
+    with pytest.raises(ValueError):
+        make_mesh(99)
