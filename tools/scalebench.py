@@ -61,11 +61,31 @@ def run(name):
     compile_s = time.time() - t0
     dt = time_fn(step, density)
     dtf = time_fn(op, density)
+
+    # the production training step (as retrieval.gd runs it): one jitted
+    # lax.scan chunk with payload-threaded tables — no per-kernel relay
+    # dispatch latency (~1-2 ms/dispatch) in the measurement
+    K = 10
+    payload = op.payload
+
+    @jax.jit
+    def step_chunk(d, pl):
+        fx = op.with_payload(pl)
+
+        def one(c, _):
+            g = jax.grad(lambda v: jnp.mean((fx(v) - y) ** 2))(c)
+            return c - 1e-3 * g, ()
+
+        return jax.lax.scan(one, d, None, length=K)[0]
+
+    np.asarray(step_chunk(density, payload).ravel()[:4])
+    dts = time_fn(step_chunk, density, payload) / K
     print(f"[scale] {name:10s} vol={vshape} views={nviews} det={det} "
           f"rays={nrays/1e3:.0f}k | setup {setup:.0f}s compile "
           f"{compile_s:.0f}s | fwd {dtf*1e3:.2f} ms "
           f"({nrays/dtf/1e6:.1f}M rays/s) | step {dt*1e3:.2f} ms "
-          f"({nrays/dt/1e6:.1f}M rays/s)", flush=True)
+          f"({nrays/dt/1e6:.1f}M rays/s) | scan-step {dts*1e3:.2f} ms "
+          f"({nrays/dts/1e6:.1f}M rays/s)", flush=True)
 
 
 def main():
