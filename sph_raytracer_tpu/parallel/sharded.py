@@ -268,6 +268,33 @@ class ShardedOperator(Operator):
         # keep host mirrors for .T / debugging
         self.lin, self.lens = lin, lens
 
+    # ------------------------------------------------------------------
+    @property
+    def payload(self):
+        """Device-array state to thread through jit boundaries as
+        arguments (see :attr:`Operator.payload`).  The sharded routed
+        engines keep their tables in ``_sb_ft/_sb_bt`` (banded) or
+        ``_srt_tables`` — without this override those multi-GB dicts
+        would be baked into callers' traces as constants."""
+        if self._sharded_routed == "banded":
+            return {"sb_ft": self._sb_ft, "sb_bt": self._sb_bt}
+        if self._sharded_routed:
+            return {"srt": self._srt_tables}
+        return Operator.payload.fget(self)
+
+    def with_payload(self, payload):
+        import copy
+
+        if "sb_ft" in payload or "srt" in payload:
+            new = copy.copy(self)
+            if "sb_ft" in payload:
+                new._sb_ft = payload["sb_ft"]
+                new._sb_bt = payload["sb_bt"]
+            else:
+                new._srt_tables = payload["srt"]
+            return new
+        return super().with_payload(payload)
+
     def __call__(self, density):
         density = jnp.asarray(density)
         gshape = tuple(self.grid.shape)

@@ -157,3 +157,47 @@ def test_make_mesh_int():
     assert m.devices.size == 4
     with pytest.raises(ValueError):
         make_mesh(99)
+
+
+def test_sharded_payload_threading(setup):
+    """ShardedOperator.payload exposes the routed device tables so callers
+    (retrieval.gd) thread them through jit as *arguments*; baking them in
+    as trace constants would bloat the HLO (and break relayed
+    remote-compile at production table sizes)."""
+    from sph_raytracer_tpu.config import TraceConfig
+
+    grid, geom, op, x = setup
+    x32 = x.astype(jnp.float32)
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2)
+    for sop in (
+        ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg),
+        ShardedOperator(grid, geom, mesh=make_mesh(), mode="routed"),
+    ):
+        pl = sop.payload
+        leaves = jax.tree_util.tree_leaves(pl)
+        assert leaves, "routed tables must be exposed via payload"
+        out = jax.jit(lambda d, p: sop.with_payload(p)(d))(x32, pl)
+        assert np.allclose(np.asarray(out), np.asarray(sop(x32)), atol=1e-5)
+
+
+def test_gd_with_sharded_operator(setup):
+    """retrieval.gd drives the sharded banded engine end-to-end (the pod
+    training path: shard_map kernels + psum'd gradients inside the scan)."""
+    from sph_raytracer_tpu.config import TraceConfig
+    from sph_raytracer_tpu.loss import SquareLoss
+    from sph_raytracer_tpu.models import FullyDenseModel
+    from sph_raytracer_tpu.retrieval import gd
+
+    grid, geom, op, x = setup
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    y = sop(x.astype(jnp.float32))
+    coeffs, reproj, losses = gd(
+        sop, y, FullyDenseModel(grid),
+        num_iterations=6, chunk=3, progress_bar=False,
+        loss_fns=[SquareLoss()], learning_rate=0.1)
+    hist = losses[next(iter(losses))]
+    assert len(hist) == 6
+    assert hist[-1] < hist[0]
