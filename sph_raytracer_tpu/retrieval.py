@@ -52,7 +52,12 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
         y: measurement stack matching ``f``'s output shape.
         model: :class:`~sph_raytracer_tpu.models.Model` instance.
         coeffs: initial coefficients (default ``ones(model.coeffs_shape)``,
-            reference retrieval.py:64-70).
+            reference retrieval.py:64-70).  May be any pytree (e.g. a dict
+            of arrays): the whole tree is optimized and passed to
+            ``model``/losses.  This subsumes the reference's ``optim_vars``
+            list (retrieval.py:75-79) — torch mutates extra tensors that a
+            model closes over; the functional JAX equivalent is to make
+            them explicit coefficient leaves.
         num_iterations: gradient steps.
         loss_fns: list of :class:`~sph_raytracer_tpu.loss.Loss` (default
             ``[SquareLoss()]``).
@@ -75,6 +80,12 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
         (best_coeffs, f(model(best_coeffs)), losses) where ``losses`` maps
         each loss_fn to its per-iteration float history.
     """
+    if "optim_vars" in kwargs:
+        raise TypeError(
+            "optim_vars is torch-specific (the reference's models mutate "
+            "closed-over tensors; reference retrieval.py:75-79).  Pass a "
+            "pytree as `coeffs` instead — every leaf is optimized and the "
+            "whole tree reaches model(coeffs) and the losses.")
     if loss_fns is None:
         loss_fns = [SquareLoss()]
     if chunk is None:
@@ -95,8 +106,9 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
     if coeffs is None:
         coeffs = jnp.ones(model.coeffs_shape, dtype=jnp.float32)
     else:
-        coeffs = jnp.asarray(coeffs)
-    y = jnp.asarray(y, dtype=coeffs.dtype) if y is not None else None
+        coeffs = jax.tree.map(jnp.asarray, coeffs)
+    cdtype = jnp.result_type(*jax.tree_util.tree_leaves(coeffs))
+    y = jnp.asarray(y, dtype=cdtype) if y is not None else None
 
     opt_state = tx.init(coeffs)
     start_iter = 0
@@ -121,7 +133,7 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
         vals = [lf(fx, ym, d, c) for lf in loss_fns]
         tot = sum(
             (v for v, m in zip(vals, grad_mask) if m),
-            start=jnp.zeros((), dtype=jnp.result_type(c)),
+            start=jnp.zeros((), dtype=cdtype),
         )
         return tot, jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
 
@@ -132,7 +144,7 @@ def gd(f, y, model, coeffs=None, num_iterations=100,
         # track best-so-far inside the scan (reference retrieval.py:111-113)
         better = tot < best_loss
         best_loss = jnp.where(better, tot, best_loss)
-        best_c = jnp.where(better, c, best_c)
+        best_c = jax.tree.map(lambda a, b: jnp.where(better, a, b), c, best_c)
         updates, s = tx.update(g, s, c)
         c = optax.apply_updates(c, updates)
         if proj is not None:

@@ -134,3 +134,41 @@ def test_masks(problem):
     v_all = float(SquareLoss()(op, y, jnp.zeros(tuple(grid.shape)), None))
     v_masked = float(lf(op, y, jnp.zeros(tuple(grid.shape)), None))
     assert v_masked < v_all
+
+
+def test_gd_pytree_coeffs(problem):
+    """Pytree coefficients: the JAX-native replacement for the reference's
+    ``optim_vars`` (retrieval.py:75-79) — extra optimization variables are
+    explicit coefficient leaves instead of mutated closures."""
+    from sph_raytracer_tpu.models import Model
+
+    grid, op, truth, y = problem
+
+    class ScaledModel(Model):
+        def __init__(self, grid):
+            self.grid = grid
+
+        def __call__(self, c):
+            return c["vol"] * c["scale"]
+
+        @property
+        def coeffs_shape(self):
+            return None  # caller must supply pytree coeffs
+
+    init = {"vol": jnp.full(tuple(grid.shape), 0.5),
+            "scale": jnp.ones(())}
+    coeffs, reproj, losses = gd(
+        op, y, ScaledModel(grid), coeffs=init, num_iterations=40, lr=0.05,
+        progress_bar=False)
+    assert set(coeffs) == {"vol", "scale"}
+    assert coeffs["vol"].shape == tuple(grid.shape)
+    hist = losses[next(iter(losses))]
+    assert hist[-1] < 0.1 * hist[0]
+    assert reproj.shape == y.shape
+
+
+def test_gd_optim_vars_rejected(problem):
+    grid, op, truth, y = problem
+    with pytest.raises(TypeError, match="pytree"):
+        gd(op, y, FullyDenseModel(grid), optim_vars=[jnp.ones(())],
+           progress_bar=False)
