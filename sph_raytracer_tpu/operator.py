@@ -111,8 +111,14 @@ class Operator:
             self._flat_size = self._vsize
 
         # device geometry in compute dtype
-        self._xs = jnp.asarray(geom.ray_starts, dtype=config.ftype)
-        self._rays = jnp.asarray(geom.rays, dtype=config.ftype)
+        # host copies first: the trace-cache key and the host-side router
+        # consume numpy, and fetching a *device* array back would force a
+        # relay round-trip (plus a remote compile of the lazy geometry
+        # math — measured 43-60 s on a cold compile cache)
+        self._xs_np = np.asarray(geom.ray_starts, dtype=np.float64)
+        self._rays_np = np.asarray(geom.rays, dtype=np.float64)
+        self._xs = jnp.asarray(self._xs_np, dtype=config.ftype)
+        self._rays = jnp.asarray(self._rays_np, dtype=config.ftype)
 
         mode = config.mode
         if mode == "auto":
@@ -196,13 +202,18 @@ class Operator:
         if not d:
             return None
         h = hashlib.sha256()
-        for a in self.gs.arrays():
+        # hash host-side data only: gs boundaries are float tuples and
+        # _xs_np/_rays_np are the numpy originals — touching the device
+        # arrays here would compile+fetch the lazy geometry math through
+        # the relay (measured 43-60 s of the old "cache hit" time)
+        for a in (self.gs.r_b, self.gs.e_b, self.gs.a_b):
             h.update(np.asarray(a, np.float64).tobytes())
-        h.update(np.asarray(self._xs, np.float64).tobytes())
-        h.update(np.asarray(self._rays, np.float64).tobytes())
+        h.update(self._xs_np.tobytes())
+        h.update(self._rays_np.tobytes())
         # v2: midpoint segment labels (ops/trace.py) replaced the
         # entered-region forward fill — v1 traces carry stale labels
-        h.update(f"{self.config.ftype}/{self.config.itype}/v2".encode())
+        # v3: host-precision hash inputs (cache key changed, not format)
+        h.update(f"{self.config.ftype}/{self.config.itype}/v3".encode())
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"trace_{h.hexdigest()[:24]}.npz")
 
@@ -232,7 +243,9 @@ class Operator:
         ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
         with ctx:
             lin, lens, n, rs = precompute_table(
-                self.gs, np.asarray(self._xs), np.asarray(self._rays),
+                self.gs,
+                self._xs_np.astype(np.dtype(config.ftype)),
+                self._rays_np.astype(np.dtype(config.ftype)),
                 block=min(config.precompute_block_rays,
                           _round_block(self._nrays)),
                 itype=config.itype,

@@ -174,7 +174,9 @@ class ShardedOperator(Operator):
             max(1, self._nrays // self.mesh.shape[RAY_AXIS])))
         self._block = block
         self._xs, self._rays, self._n, _ = shard_rays(
-            self.mesh, np.asarray(self._xs), np.asarray(self._rays),
+            self.mesh,
+            self._xs_np.astype(np.dtype(cfg.ftype)),
+            self._rays_np.astype(np.dtype(cfg.ftype)),
             block=block,
         )
         self._xs = self._xs.astype(cfg.ftype)
