@@ -64,14 +64,19 @@ class TraceConfig:
     routed_g: int = 4096
     routed_sr: int = 64
     routed_kd: int = 3
-    # band-compacted engine (TPU): SR=8 routing packed into B-band
-    # superchunks; only live density bands occupy table slots
+    # band-compacted engine (TPU): SR=routed_band_rows routing packed
+    # into B-band superchunks; only live density bands occupy table slots
     routed_banded: bool = True
     routed_bands: int = 16
-    # superchunk-count padding multiple (compile-cache hits across
-    # geometries); tests use small values to exercise unequal fwd/bwd
-    # grouping sizes
-    routed_chunk_multiple: int = 1024
+    # rows per band (multiple of 8): taller bands trade a few dead table
+    # rows for proportionally fewer per-band block DMAs — the dominant
+    # kernel cost once superchunks are large
+    routed_band_rows: int = 8
+    # superchunk-count padding multiple; "auto" = power-of-2 granularity
+    # near NCB/32 (~3% padding waste, compile-cache hits across
+    # similar-size geometries); tests use small explicit values to
+    # exercise unequal fwd/bwd grouping sizes
+    routed_chunk_multiple: object = "auto"  # int or "auto"
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

@@ -364,7 +364,7 @@ class Operator:
         B = cfg.routed_bands
         rt8 = build_routed_tables(
             lin_h, lens_h, self._flat_size,
-            G=cfg.routed_g, SR=8, KD=cfg.routed_kd)
+            G=cfg.routed_g, SR=cfg.routed_band_rows, KD=cfg.routed_kd)
         btF = band_pack(rt8, B=B, by="tile",
                         chunk_multiple=cfg.routed_chunk_multiple)
         btB = band_pack(rt8, B=B, by="window",

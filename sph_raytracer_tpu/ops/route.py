@@ -630,6 +630,7 @@ class BandedTables:
                          # output blocks are uninitialized: mask them)
     NCB: int
     B: int
+    SRb: int            # rows per band (= the source tables' SR)
     KD: int
     G: int
     HI: int
@@ -665,7 +666,7 @@ class BandedTables:
 
 
 def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
-              chunk_multiple: int = 1024) -> BandedTables:
+              chunk_multiple="auto") -> BandedTables:
     """Pack SR=8 routed chunks ("bands") into B-band superchunks.
 
     ``by="tile"`` (forward): bands grouped per tile — the superchunk's y
@@ -674,8 +675,16 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     density window — the superchunk's dD2 output block is one window;
     each band carries its own dy-tile pointer.  Each group's band count is
     padded to a B multiple with dummy bands (zero tables, pointer 0).
+
+    A band is one SR-row chunk of ``rt`` — any SR multiple of 8 works.
+    Taller bands trade a few dead table rows for half (SR=16) or a
+    quarter (SR=32) of the per-band block DMAs, the dominant kernel cost
+    once superchunks are large (measured v5e: the per-band density/dy
+    fetches are ~30 ns each and there are ~33k of them per pass at SR=8
+    on the flagship config).
     """
-    assert rt.SR == SUBLANES, "band_pack expects SR=8 tables"
+    assert rt.SR % SUBLANES == 0, "band rows must be a multiple of 8"
+    SRb = rt.SR
     NC = rt.NC
     if NC == 0 or rt.n_live == 0:
         return _empty_banded(rt, B, by, chunk_multiple)
@@ -686,10 +695,14 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     else:
         order = rt.bwd_order.astype(np.int64)
         key = rt.sg[order]
-        nkeys = rt.H // SUBLANES
+        nkeys = rt.H // SRb
     counts = np.bincount(key, minlength=nkeys)
     padded = -(-counts // B) * B
     NCB = int(padded.sum()) // B
+    if chunk_multiple == "auto":
+        # power-of-2 granularity near NCB/32: bounded padding waste
+        # (~3%) while similar-size geometries still share a compile
+        chunk_multiple = max(32, 1 << max(0, NCB.bit_length() - 5))
     NCBp = _round_up(max(NCB, 1), chunk_multiple)
 
     # source band id per packed slot (-1 = dummy)
@@ -710,15 +723,15 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     sb = np.where(dummy, 0, srcband)
 
     def rows(a, fill=0):
-        """Gather an (NC·8, L) per-column table into packed band order."""
-        v = a.reshape(NC, SUBLANES, LANES)[sb]
+        """Gather an (NC·SRb, L) per-column table into packed band order."""
+        v = a.reshape(NC, SRb, LANES)[sb]
         v = np.where(dummy[:, None, None], fill, v)
-        return v.reshape(nslots * SUBLANES, LANES)
+        return v.reshape(nslots * SRb, LANES)
 
     def rowsk(a, fill):
-        v = a.reshape(a.shape[0], NC, SUBLANES, LANES)[:, sb]
+        v = a.reshape(a.shape[0], NC, SRb, LANES)[:, sb]
         v = np.where(dummy[None, :, None, None], fill, v)
-        return v.reshape(a.shape[0], nslots * SUBLANES, LANES)
+        return v.reshape(a.shape[0], nslots * SRb, LANES)
 
     # sb holds original chunk ids, so index the unpermuted per-chunk arrays
     otherp = np.where(dummy, 0, (rt.sg if by == "tile" else rt.tile)[sb])
@@ -741,7 +754,7 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
         sdf=sdf_b.astype(np.int32), sdb=sdb_b.astype(np.int32),
         first=first.astype(np.int32),
         covered=(counts > 0).astype(np.int8),
-        NCB=NCBp, B=B, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T, H=rt.H,
+        NCB=NCBp, B=B, SRb=SRb, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T, H=rt.H,
         n_rays=rt.n_rays, volume_size=rt.volume_size,
         scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,
     )
@@ -750,9 +763,11 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
 def _empty_banded(rt: RoutedTables, B: int, by: str,
                   chunk_multiple: int) -> BandedTables:
     """All-dummy banded tables for an empty shard (no live crossings)."""
-    nkeys = rt.T if by == "tile" else rt.H // SUBLANES
+    nkeys = rt.T if by == "tile" else rt.H // rt.SR
+    if chunk_multiple == "auto":
+        chunk_multiple = 32
     NCBp = _round_up(1, chunk_multiple)
-    nr = NCBp * B * SUBLANES
+    nr = NCBp * B * rt.SR
 
     def z8():
         return np.zeros((nr, LANES), np.int8)
@@ -769,7 +784,8 @@ def _empty_banded(rt: RoutedTables, B: int, by: str,
         by=by, keyp=zc(), bp=np.zeros((B, NCBp), np.int32),
         kmax=zc(), sdf=zc(), sdb=zc(), first=zc(),
         covered=np.zeros(max(nkeys, 1), np.int8),
-        NCB=NCBp, B=B, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T, H=rt.H,
+        NCB=NCBp, B=B, SRb=rt.SR, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T,
+        H=rt.H,
         n_rays=rt.n_rays, volume_size=rt.volume_size,
         scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,
     )

@@ -271,7 +271,7 @@ def _pad_banded(bt, NCBp):
     e = NCBp - bt.NCB
     if e <= 0:
         return bt
-    SRB = 8 * bt.B
+    SRB = bt.SRb * bt.B
 
     def padrows(a):
         pad = np.zeros((e * SRB,) + a.shape[1:], a.dtype)
@@ -328,10 +328,12 @@ def shard_banded_tables(rt8, n_devices: int, B: int = 8,
                "keyp", "kmax", "sdb", "first", "covered")
     fstk = {k: np.stack([getattr(t, k) for t in fts]) for k in ffields}
     bstk = {k: np.stack([getattr(t, k) for t in bts]) for k in bfields}
-    mf = RoutedMeta(NCf, 8 * B, rt8.KD, rt8.G, rt8.HI, tiles_per, rt8.H,
-                    rt8.n_rays, rt8.volume_size, rt8.scan_fwd, rt8.scan_bwd)
-    mb = RoutedMeta(NCb, 8 * B, rt8.KD, rt8.G, rt8.HI, tiles_per, rt8.H,
-                    rt8.n_rays, rt8.volume_size, rt8.scan_fwd, rt8.scan_bwd)
+    mf = RoutedMeta(NCf, rt8.SR * B, rt8.KD, rt8.G, rt8.HI, tiles_per,
+                    rt8.H, rt8.n_rays, rt8.volume_size, rt8.scan_fwd,
+                    rt8.scan_bwd)
+    mb = RoutedMeta(NCb, rt8.SR * B, rt8.KD, rt8.G, rt8.HI, tiles_per,
+                    rt8.H, rt8.n_rays, rt8.volume_size, rt8.scan_fwd,
+                    rt8.scan_bwd)
     return fstk, bstk, mf, mb
 
 

@@ -248,7 +248,7 @@ class ShardedOperator(Operator):
 
             rt8 = build_routed_tables(
                 lin_h, lens_h, self._flat_size,
-                G=cfg.routed_g, SR=8, KD=cfg.routed_kd)
+                G=cfg.routed_g, SR=cfg.routed_band_rows, KD=cfg.routed_kd)
             fstk, bstk, mf, mb = shard_banded_tables(
                 rt8, D, B=cfg.routed_bands)
             self._sb_ft = put_sharded_tables(fstk, self.mesh)

@@ -40,6 +40,10 @@ def main():
         routed_kd=int(os.environ.get("SPH_KD", 3)),
         routed_banded=os.environ.get("SPH_BANDED", "1") == "1",
         routed_bands=int(os.environ.get("SPH_BANDS", 16)),
+        routed_band_rows=int(os.environ.get("SPH_BR", 8)),
+        routed_chunk_multiple=(
+            "auto" if os.environ.get("SPH_CM", "auto") == "auto"
+            else int(os.environ["SPH_CM"])),
     )
     t0 = time.time()
     op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
@@ -63,12 +67,52 @@ def main():
     print(f"[kbench] fwd {tf*1e3:.2f} ms ({nrays/tf/1e6:.1f}M rays/s)",
           file=sys.stderr)
 
-    if isinstance(op._dt, tuple):  # banded engine: time adj directly
+    if isinstance(op._dt, tuple):  # banded engine
+        ft_tbl, btd = op._dt
+        metab = op._rmeta_bwd
+        B = cfg.routed_bands
         yf = jnp.asarray(rng.random(nrays), jnp.float32)
         tb = time_fn(op._routed_adj, yf, op._dt)
         print(f"[kbench] bwd[banded] {tb*1e3:.2f} ms "
               f"({nrays/tb/1e6:.1f}M rays/s, {tb/tf:.2f}x fwd)",
               file=sys.stderr)
+
+        pad = meta.T * meta.G - nrays
+        yt = jnp.concatenate([yf, jnp.zeros((pad,), yf.dtype)]).reshape(
+            meta.T, meta.HI, 128)
+        outs = {}
+        for variant in os.environ.get("SPH_BGF", "").split(","):
+            if not variant:
+                continue
+            f = jax.jit(functools.partial(
+                rp._bwd_banded_pallas, meta=metab, B=B, g_fetch=variant))
+            try:
+                o = f(yt, btd)
+                np.asarray(o.ravel()[:4])
+                t = time_fn(f, yt, btd)
+                outs[variant] = np.asarray(o)
+                print(f"[kbench] bwd[banded:{variant}] {t*1e3:.2f} ms "
+                      f"({nrays/t/1e6:.1f}M rays/s)", file=sys.stderr)
+            except Exception as e:
+                print(f"[kbench] bwd[banded:{variant}] FAILED: "
+                      f"{type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
+        ks = list(outs)
+        for k2 in ks[1:]:
+            d = np.abs(outs[ks[0]] - outs[k2]).max()
+            print(f"[kbench] max|{ks[0]} - {k2}| = {d:.3e}", file=sys.stderr)
+
+        if os.environ.get("SPH_STAGES"):
+            d2 = op._rt.pad_density(density)
+            for st in ("fetch", "scan"):
+                f = jax.jit(functools.partial(
+                    rp._fwd_banded_pallas, meta=meta, B=B, stage=st))
+                t = time_fn(f, d2, ft_tbl)
+                print(f"[kbench] fwd[{st}] {t*1e3:.2f} ms", file=sys.stderr)
+            for st in ("gfetch", "tail"):
+                f = jax.jit(functools.partial(
+                    rp._bwd_banded_pallas, meta=metab, B=B, stage=st))
+                t = time_fn(f, yt, btd)
+                print(f"[kbench] bwd[{st}] {t*1e3:.2f} ms", file=sys.stderr)
         return
 
     pad = meta.T * meta.G - nrays
