@@ -19,9 +19,13 @@ from sph_raytracer_tpu.ops.trace import GridSpec
 F32 = jnp.float32
 
 
-@pytest.fixture(scope="module", params=[(256, 3, 4), (128, 2, 8)])
+# (G, KD, B, SR): the G=1024 case has HI=8 so the grouped8 backward
+# g-fetch runs (it falls back to the select tree at HI<8), and SR=16
+# exercises taller-than-8-row bands
+@pytest.fixture(scope="module",
+                params=[(256, 3, 4, 8), (128, 2, 8, 8), (1024, 2, 4, 16)])
 def setup(request):
-    G, KD, B = request.param
+    G, KD, B, SR = request.param
     grid = SphericalGrid(shape=(8, 8, 8))
     geom = sum(
         ConeRectGeom((8, 10), pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
@@ -34,7 +38,7 @@ def setup(request):
         np.asarray(geom.rays, np.float32), block=256, itype=jnp.int32)
     lin, lens = np.asarray(lin[:n]), np.asarray(lens[:n])
     V = 8 * 8 * 8
-    rt8 = build_routed_tables(lin, lens, V, G=G, SR=8, KD=KD)
+    rt8 = build_routed_tables(lin, lens, V, G=G, SR=SR, KD=KD)
     btF = band_pack(rt8, B=B, by="tile", chunk_multiple=4)
     btB = band_pack(rt8, B=B, by="window", chunk_multiple=4)
     ft, meta = rp.banded_device_fwd(btF)
