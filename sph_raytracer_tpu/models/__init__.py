@@ -15,5 +15,7 @@ from .base import (
     FullyDenseModel,
     Model,
 )
+from .sphharm import SphHarmModel, real_sph_harm_basis
 
-__all__ = ["Model", "FullyDenseModel", "CubesModel", "AxisAlignmentModel"]
+__all__ = ["Model", "FullyDenseModel", "CubesModel", "AxisAlignmentModel",
+           "SphHarmModel", "real_sph_harm_basis"]

@@ -47,3 +47,82 @@ def test_axis_model_markers():
 def test_repr():
     grid = SphericalGrid(shape=(4, 4, 4))
     assert "FullyDenseModel" in repr(FullyDenseModel(grid))
+
+
+# ---------------------------------------------------------------------------
+# SphHarmModel (TPU-first model family; no reference analog)
+
+def test_sph_harm_basis_orthonormal():
+    """integral(Y_i Y_j sin e de da) == delta_ij on a fine midpoint grid."""
+    from sph_raytracer_tpu.models import real_sph_harm_basis
+
+    ne, na, lmax = 400, 800, 3
+    e = (np.arange(ne) + 0.5) * np.pi / ne
+    a = -np.pi + (np.arange(na) + 0.5) * 2 * np.pi / na
+    Y = real_sph_harm_basis(lmax, e, a)  # (K, Ne, Na)
+    w = np.sin(e)[:, None] * (np.pi / ne) * (2 * np.pi / na)
+    G = np.einsum("iea,jea,ea->ij", Y, Y, np.broadcast_to(w, Y.shape[1:]))
+    assert np.allclose(G, np.eye((lmax + 1) ** 2), atol=1e-3), \
+        np.abs(G - np.eye((lmax + 1) ** 2)).max()
+
+
+def test_sph_harm_model_l0_is_uniform():
+    from sph_raytracer_tpu.models import SphHarmModel
+
+    grid = SphericalGrid(shape=(6, 8, 10))
+    m = SphHarmModel(grid, lmax=0)
+    assert m.coeffs_shape == (1, 6)
+    c = jnp.ones(m.coeffs_shape)
+    vol = np.asarray(m(c))
+    assert vol.shape == tuple(grid.shape)
+    assert np.allclose(vol, 1 / np.sqrt(4 * np.pi), atol=1e-6)
+
+
+def test_sph_harm_model_fit_roundtrip():
+    """fit() recovers the coefficients of a model-generated volume."""
+    from sph_raytracer_tpu.models import SphHarmModel
+
+    grid = SphericalGrid(shape=(5, 12, 16))
+    m = SphHarmModel(grid, lmax=3, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    c0 = jnp.asarray(rng.standard_normal(m.coeffs_shape))
+    vol = m(c0)
+    c1 = m.fit(vol)
+    assert np.allclose(np.asarray(c1), np.asarray(c0), atol=1e-8), \
+        np.abs(np.asarray(c1) - np.asarray(c0)).max()
+
+
+def test_sph_harm_model_dynamic_grid():
+    from sph_raytracer_tpu.models import SphHarmModel
+
+    grid = SphericalGrid(shape=(4, 5, 6, 8), size_t=(0, 3))
+    m = SphHarmModel(grid, lmax=1)
+    assert m.coeffs_shape == (4, 4, 5)
+    vol = m(jnp.ones(m.coeffs_shape))
+    assert vol.shape == tuple(grid.shape)
+
+
+def test_sph_harm_retrieval_converges():
+    """gd() with SphHarmModel drives SquareLoss down on a bandlimited
+    truth (the model's intended use: conditioned low-dim retrievals)."""
+    import jax
+
+    from sph_raytracer_tpu import ConeRectGeom, Operator
+    from sph_raytracer_tpu.loss import SquareLoss
+    from sph_raytracer_tpu.models import SphHarmModel
+    from sph_raytracer_tpu.retrieval import gd
+
+    grid = SphericalGrid(shape=(6, 8, 10), size_r=(1, 5))
+    geom = sum(
+        ConeRectGeom((8, 8), (8 * np.cos(t), 8 * np.sin(t), 1), fov=(40, 40))
+        for t in np.linspace(0, 2 * np.pi, 4, endpoint=False)
+    )
+    op = Operator(grid, geom, ftype=jnp.float32)
+    m = SphHarmModel(grid, lmax=1)
+    rng = np.random.default_rng(1)
+    truth = jnp.asarray(0.1 * rng.standard_normal(m.coeffs_shape) + 0.5,
+                        jnp.float32)
+    meas = op(m(truth))
+    coeffs, reproj, losses = gd(op, meas, m, num_iterations=60, lr=0.05)
+    hist = losses[next(iter(losses))]
+    assert hist[-1] < 0.05 * hist[0], (hist[0], hist[-1])
