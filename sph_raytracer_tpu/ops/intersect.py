@@ -26,8 +26,6 @@ All kernels accept ``xs``/``rays`` with arbitrary matching leading
 """
 from __future__ import annotations
 
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -22,7 +22,6 @@ Both modes share identical math and are cross-checked in tests.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Tuple
 

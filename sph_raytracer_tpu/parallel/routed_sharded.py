@@ -266,8 +266,6 @@ def _slice_rt8(rt, lo, hi, tiles_per, d):
 
 def _pad_banded(bt, NCBp):
     """Pad a BandedTables to NCBp superchunks (zero tables, first=0)."""
-    from ..ops.route import BandedTables  # noqa: F401
-
     e = NCBp - bt.NCB
     if e <= 0:
         return bt

@@ -29,8 +29,6 @@ def debug_trace(op, los: Optional[tuple] = None, out=None):
     Returns:
         (regs, lens, ts) numpy arrays for the selected LOS.
     """
-    import jax.numpy as jnp
-
     from ..ops.trace import trace_crossings
 
     regs, lens, ts = trace_crossings(
