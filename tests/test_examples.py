@@ -29,3 +29,11 @@ def test_memory_usage(tmp_path, monkeypatch, capsys):
 def test_single_vantage(tmp_path, monkeypatch):
     run_example("single_vantage.py", tmp_path, monkeypatch)
     assert (tmp_path / "single_vantage.png").exists()
+
+
+def test_sph_harm_retrieval(tmp_path, monkeypatch, capsys):
+    run_example("sph_harm_retrieval.py", tmp_path, monkeypatch)
+    assert (tmp_path / "sph_harm_retrieval.png").exists()
+    rel = float(capsys.readouterr().out.split("relative volume error:")[1]
+                .split()[0])
+    assert rel < 0.2, rel
