@@ -77,6 +77,12 @@ class TraceConfig:
     # similar-size geometries); tests use small explicit values to
     # exercise unequal fwd/bwd grouping sizes
     routed_chunk_multiple: object = "auto"  # int or "auto"
+    # ShardedOperator banded-table build: None = process-local when
+    # running multi-host (each host traces + routes only its addressable
+    # devices' ray ranges — host memory stays O(local shard)), global
+    # single-build otherwise; True/False forces.  Both produce
+    # bit-identical tables (tested).
+    sharded_local_build: Optional[bool] = None
 
     def replace(self, **kw) -> "TraceConfig":
         return dataclasses.replace(self, **kw)

@@ -534,6 +534,8 @@ def _empty_tables(SR, KD, G, HI, T, H, R, volume_size):
         wins_covered=np.zeros(max(H // SR, 1), np.int8),
         NC=1, SR=SR, KD=KD, G=G, HI=HI, T=T, H=H,
         n_rays=R, volume_size=volume_size, n_live=0,
+        scan_fwd=1, scan_bwd=1,  # no runs (don't inherit the default 7:
+        # shard-max scan depths would inflate on empty shards)
     )
 
 

@@ -296,9 +296,47 @@ def _pad_banded(bt, NCBp):
     )
 
 
+FWD_BANDED_FIELDS = ("lvw", "w", "rposf", "src", "hik", "bp", "keyp",
+                     "kmax", "sdf", "first", "covered")
+BWD_BANDED_FIELDS = ("rposb", "wp", "lp8p", "kcolp", "hik", "put", "putv",
+                     "bp", "keyp", "kmax", "sdb", "first", "covered")
+
+
+def stack_banded_shards(fts, bts, tiles_per: int, n_rays: int,
+                        chunk_multiple: int = 256, ncf=None, ncb=None,
+                        scan_fwd=None, scan_bwd=None):
+    """Pad per-device banded shards to common superchunk counts and stack
+    them on a leading device axis.
+
+    ``ncf/ncb/scan_fwd/scan_bwd`` are externally-agreed global values
+    (multi-host builds allgather-max them across processes so every host
+    pads to the same shapes); default = maxima over the given shards.
+
+    Returns (fwd stacked dict, bwd stacked dict, meta_fwd, meta_bwd).
+    """
+    s0 = fts[0]
+    NCf = _round_up_mult(max(ft.NCB for ft in fts) if ncf is None else ncf,
+                         chunk_multiple)
+    NCb = _round_up_mult(max(bt.NCB for bt in bts) if ncb is None else ncb,
+                         chunk_multiple)
+    sf = max(t.scan_fwd for t in fts) if scan_fwd is None else scan_fwd
+    sb = max(t.scan_bwd for t in bts) if scan_bwd is None else scan_bwd
+    fts = [_pad_banded(ft, NCf) for ft in fts]
+    bts = [_pad_banded(bt, NCb) for bt in bts]
+    fstk = {k: np.stack([getattr(t, k) for t in fts])
+            for k in FWD_BANDED_FIELDS}
+    bstk = {k: np.stack([getattr(t, k) for t in bts])
+            for k in BWD_BANDED_FIELDS}
+    mf = RoutedMeta(NCf, s0.SRb * s0.B, s0.KD, s0.G, s0.HI, tiles_per,
+                    s0.H, n_rays, s0.volume_size, sf, sb)
+    mb = RoutedMeta(NCb, s0.SRb * s0.B, s0.KD, s0.G, s0.HI, tiles_per,
+                    s0.H, n_rays, s0.volume_size, sf, sb)
+    return fstk, bstk, mf, mb
+
+
 def shard_banded_tables(rt8, n_devices: int, B: int = 8,
                         chunk_multiple: int = 256):
-    """Split SR=8 tables by tile range and band-pack each shard.
+    """Split routed tables by tile range and band-pack each shard.
 
     Returns (fwd stacked dict, bwd stacked dict, meta_fwd, meta_bwd) with
     all shards padded to common superchunk counts.
@@ -315,24 +353,71 @@ def shard_banded_tables(rt8, n_devices: int, B: int = 8,
                          tiles_per, d)
         fts.append(band_pack(sub, B=B, by="tile", chunk_multiple=1))
         bts.append(band_pack(sub, B=B, by="window", chunk_multiple=1))
-    NCf = _round_up_mult(max(ft.NCB for ft in fts), chunk_multiple)
-    NCb = _round_up_mult(max(bt.NCB for bt in bts), chunk_multiple)
-    fts = [_pad_banded(ft, NCf) for ft in fts]
-    bts = [_pad_banded(bt, NCb) for bt in bts]
+    return stack_banded_shards(
+        fts, bts, tiles_per, rt8.n_rays, chunk_multiple,
+        scan_fwd=rt8.scan_fwd, scan_bwd=rt8.scan_bwd)
 
-    ffields = ("lvw", "w", "rposf", "src", "hik", "bp", "keyp", "kmax",
-               "sdf", "first", "covered")
-    bfields = ("rposb", "wp", "lp8p", "kcolp", "hik", "put", "putv", "bp",
-               "keyp", "kmax", "sdb", "first", "covered")
-    fstk = {k: np.stack([getattr(t, k) for t in fts]) for k in ffields}
-    bstk = {k: np.stack([getattr(t, k) for t in bts]) for k in bfields}
-    mf = RoutedMeta(NCf, rt8.SR * B, rt8.KD, rt8.G, rt8.HI, tiles_per,
-                    rt8.H, rt8.n_rays, rt8.volume_size, rt8.scan_fwd,
-                    rt8.scan_bwd)
-    mb = RoutedMeta(NCb, rt8.SR * B, rt8.KD, rt8.G, rt8.HI, tiles_per,
-                    rt8.H, rt8.n_rays, rt8.volume_size, rt8.scan_fwd,
-                    rt8.scan_bwd)
-    return fstk, bstk, mf, mb
+
+def banded_shard_local(lin_h, lens_h, volume_size: int, tiles_per: int,
+                       G: int, SR: int, KD: int, B: int):
+    """Route + band-pack ONE device's tile-aligned ray range independently
+    of every other shard.
+
+    This is the multi-host table build (SURVEY §7 "multi-host input
+    pipeline"): each host traces and routes only the rays of its
+    addressable devices, so host memory stays O(local shard) instead of
+    O(full problem) — the full scaled config #5 needs ~70 GB of tables,
+    more than one host holds.  Correctness: tiles are contiguous G-ray
+    blocks (``tile = ray // G``, ops/route.py) and slot/chunk formation
+    is local to a (tile, density-window) group, so a tile-aligned range
+    routes bit-identically in isolation to its slice of the global
+    routing (tested against :func:`shard_banded_tables`).
+
+    Args:
+        lin_h / lens_h: (R_local, M) packed crossing tables for the rays
+            ``[d·tiles_per·G, min((d+1)·tiles_per·G, n))`` of device d.
+        tiles_per: global tiles-per-device (the last shard may trace
+            fewer rays; its tile space is padded up to this).
+
+    Returns (fwd BandedTables, bwd BandedTables), unpadded (stack with
+    :func:`stack_banded_shards`).
+    """
+    import dataclasses as _dc
+
+    from ..ops.route import band_pack, build_routed_tables
+
+    rt = build_routed_tables(lin_h, lens_h, volume_size, G=G, SR=SR, KD=KD)
+    if rt.T < tiles_per:
+        rt = _dc.replace(rt, T=tiles_per,
+                         tiles_covered=_pad_to(rt.tiles_covered, tiles_per))
+    ft = band_pack(rt, B=B, by="tile", chunk_multiple=1)
+    bt = band_pack(rt, B=B, by="window", chunk_multiple=1)
+    return ft, bt
+
+
+def put_sharded_tables_multihost(local_fstk: dict, mesh: Mesh,
+                                 axis: str = RAY_AXIS):
+    """Place per-process table stacks as globally-sharded arrays.
+
+    ``local_fstk`` holds each field stacked over THIS process's
+    addressable devices only (in mesh order); the result is the same
+    globally-sharded dict :func:`put_sharded_tables` produces, but no
+    host ever materializes another host's shards
+    (``jax.make_array_from_single_device_arrays``).
+    """
+    devs = mesh.devices.reshape(-1)
+    pid = jax.process_index()
+    local = [d for d in devs if d.process_index == pid]
+    D = devs.size
+    out = {}
+    for k, v in local_fstk.items():
+        assert v.shape[0] == len(local), (k, v.shape, len(local))
+        spec = P(axis, *([None] * (v.ndim - 1)))
+        sh = NamedSharding(mesh, spec)
+        shards = [jax.device_put(v[i:i + 1], d) for i, d in enumerate(local)]
+        out[k] = jax.make_array_from_single_device_arrays(
+            (D,) + v.shape[1:], sh, shards)
+    return out
 
 
 def _round_up_mult(x, m):

@@ -229,6 +229,14 @@ class ShardedOperator(Operator):
         # host tables only (the router is numpy): device=False keeps the
         # trace on the host CPU backend instead of pulling 0.5 GB back
         # through a relayed TPU
+        local_build = cfg.sharded_local_build
+        if local_build is None:
+            local_build = jax.process_count() > 1
+        if (local_build and cfg.routed_banded
+                and (jax.default_backend() == "tpu" or cfg.interpret)):
+            self._use_pallas = jax.default_backend() == "tpu"
+            self._build_banded_process_local()
+            return
         lin, lens, n, _ = self._traced_tables(device=False)
         lin, lens = lin[:n], lens[:n]
         lin_h = getattr(self, "_lin_host", None)
@@ -269,6 +277,96 @@ class ShardedOperator(Operator):
         self._sharded_routed = True
         # keep host mirrors for .T / debugging
         self.lin, self.lens = lin, lens
+
+    def _build_banded_process_local(self):
+        """Multi-host banded-table build (SURVEY §7 "multi-host input
+        pipeline"): trace + route only this process's addressable ray
+        ranges, so host memory stays O(local shard) — no host ever holds
+        the full problem's tables (scaled config #5 needs ~70 GB).
+
+        Bit-identical to the global :func:`shard_banded_tables` path
+        (tested on the CPU mesh): tiles are contiguous G-ray blocks and
+        routing is local to a (tile, density-window) group.
+        """
+        import contextlib
+
+        from ..ops.project import precompute_table
+        from ..operator import _round_block
+        from .routed_sharded import (
+            banded_shard_local,
+            put_sharded_tables_multihost,
+            stack_banded_shards,
+        )
+
+        cfg = self.config
+        G, B = cfg.routed_g, cfg.routed_bands
+        n = self._nrays
+        D = int(self.mesh.devices.size)
+        T = -(-n // G)  # global tiles
+        tiles_per = -(-T // D)
+        rays_per = tiles_per * G
+        devs = self.mesh.devices.reshape(-1)
+        pid = jax.process_index()
+        local_ids = [i for i, dv in enumerate(devs)
+                     if dv.process_index == pid]
+
+        ft_np = np.dtype(cfg.ftype)
+        shape = np.broadcast_shapes(self._xs_np.shape, self._rays_np.shape)
+        xs_f = np.broadcast_to(self._xs_np, shape).reshape(-1, 3)
+        rays_f = np.broadcast_to(self._rays_np, shape).reshape(-1, 3)
+        offs = (None if self._view_offsets is None
+                else np.asarray(self._view_offsets).reshape(-1))
+
+        dev = self._pdevice(need_host=True)
+        ctx = (jax.default_device(dev) if dev is not None
+               else contextlib.nullcontext())
+        M = self.gs.num_crossings
+        fts, bts = [], []
+        for d in local_ids:
+            lo, hi = d * rays_per, min((d + 1) * rays_per, n)
+            if lo >= n:
+                lin_d = np.zeros((0, M), np.dtype(cfg.itype))
+                lens_d = np.zeros((0, M), np.float32)
+            else:
+                with ctx:
+                    lin, lens, nn, _ = precompute_table(
+                        self.gs, xs_f[lo:hi].astype(ft_np),
+                        rays_f[lo:hi].astype(ft_np),
+                        block=min(cfg.precompute_block_rays,
+                                  _round_block(hi - lo)),
+                        itype=cfg.itype)
+                lin_d = np.asarray(lin)[:nn]
+                lens_d = np.asarray(lens)[:nn]
+                if offs is not None:
+                    lin_d = (lin_d + offs[lo:hi, None]).astype(lin_d.dtype)
+            ft, bt = banded_shard_local(
+                lin_d, lens_d, self._flat_size, tiles_per,
+                G=G, SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B)
+            fts.append(ft)
+            bts.append(bt)
+
+        ncf = max(t.NCB for t in fts)
+        ncb = max(t.NCB for t in bts)
+        sf = max(t.scan_fwd for t in fts)
+        sb = max(t.scan_bwd for t in bts)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            g = multihost_utils.process_allgather(
+                np.asarray([ncf, ncb, sf, sb], np.int64))
+            ncf, ncb, sf, sb = (
+                int(x) for x in np.asarray(g).reshape(-1, 4).max(axis=0))
+        fstk, bstk, mf, mb = stack_banded_shards(
+            fts, bts, tiles_per, n, ncf=ncf, ncb=ncb,
+            scan_fwd=sf, scan_bwd=sb)
+        self._sb_ft = put_sharded_tables_multihost(fstk, self.mesh)
+        self._sb_bt = put_sharded_tables_multihost(bstk, self.mesh)
+        self._sb_meta, self._sb_metab = mf, mb
+        self._sb_B = B
+        # pad_density/unpad_density provider (H / volume_size are global)
+        self._sb_rt8 = fts[0]
+        self._sharded_routed = "banded"
+        self.lin = self.lens = None
 
     # ------------------------------------------------------------------
     @property

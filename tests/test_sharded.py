@@ -201,3 +201,57 @@ def test_gd_with_sharded_operator(setup):
     hist = losses[next(iter(losses))]
     assert len(hist) == 6
     assert hist[-1] < hist[0]
+
+
+def test_process_local_build_bit_identical(setup):
+    """The multi-host (process-local) banded table build — each shard
+    traced + routed independently of the others — produces byte-identical
+    device tables, metas, and results to the global single-build (the
+    correctness contract that lets each pod host build only its own ray
+    ranges)."""
+    grid, geom, op, x = setup
+    from sph_raytracer_tpu.config import TraceConfig
+
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128)
+    sop_g = ShardedOperator(grid, geom, mesh=make_mesh(),
+                            config=cfg.replace(sharded_local_build=False))
+    sop_l = ShardedOperator(grid, geom, mesh=make_mesh(),
+                            config=cfg.replace(sharded_local_build=True))
+    assert sop_l._sharded_routed == "banded"
+    assert sop_g._sb_meta == sop_l._sb_meta
+    assert sop_g._sb_metab == sop_l._sb_metab
+    for k in sop_g._sb_ft:
+        a, b = np.asarray(sop_g._sb_ft[k]), np.asarray(sop_l._sb_ft[k])
+        assert a.shape == b.shape and np.array_equal(a, b), k
+    for k in sop_g._sb_bt:
+        a, b = np.asarray(sop_g._sb_bt[k]), np.asarray(sop_l._sb_bt[k])
+        assert a.shape == b.shape and np.array_equal(a, b), k
+
+    x32 = x.astype(jnp.float32)
+    assert np.array_equal(np.asarray(sop_l(x32)), np.asarray(sop_g(x32)))
+    y = sop_g(x32)
+    g_g = jax.grad(lambda d: jnp.mean((sop_g(d) - y) ** 2))(x32)
+    g_l = jax.grad(lambda d: jnp.mean((sop_l(d) - y) ** 2))(x32)
+    assert np.array_equal(np.asarray(g_g), np.asarray(g_l))
+
+
+def test_process_local_build_band_rows16(setup):
+    """Process-local build at SRb=16 band height (and dummy empty shards:
+    240 rays at G=128 fill only 2 of 8 devices)."""
+    grid, geom, op, x = setup
+    from sph_raytracer_tpu.config import TraceConfig
+
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_band_rows=16, routed_bands=4)
+    sop_g = ShardedOperator(grid, geom, mesh=make_mesh(),
+                            config=cfg.replace(sharded_local_build=False))
+    sop_l = ShardedOperator(grid, geom, mesh=make_mesh(),
+                            config=cfg.replace(sharded_local_build=True))
+    for k in sop_g._sb_ft:
+        assert np.array_equal(np.asarray(sop_g._sb_ft[k]),
+                              np.asarray(sop_l._sb_ft[k])), k
+    for k in sop_g._sb_bt:
+        assert np.array_equal(np.asarray(sop_g._sb_bt[k]),
+                              np.asarray(sop_l._sb_bt[k])), k
+    x32 = x.astype(jnp.float32)
+    assert np.array_equal(np.asarray(sop_l(x32)), np.asarray(sop_g(x32)))
