@@ -255,3 +255,29 @@ def test_process_local_build_band_rows16(setup):
                               np.asarray(sop_l._sb_bt[k])), k
     x32 = x.astype(jnp.float32)
     assert np.array_equal(np.asarray(sop_l(x32)), np.asarray(sop_g(x32)))
+
+
+def test_sharded_banded_dynamic_4d():
+    """4D dynamic volume through the band-compacted sharded engine
+    (per-view time offsets baked into the routed lin tables)."""
+    T = 3
+    grid = SphericalGrid(shape=(T, 6, 6, 6))
+    geom = sum(
+        ConeRectGeom((5, 5), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, np.pi, T, endpoint=False)
+    )
+    from sph_raytracer_tpu.config import TraceConfig
+
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2)
+    op32 = Operator(grid, geom)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    assert sop._sharded_routed == "banded"
+    x = jnp.asarray(np.random.default_rng(5).random(tuple(grid.shape)),
+                    jnp.float32)
+    assert np.allclose(np.asarray(sop(x)), np.asarray(op32(x)), atol=1e-4)
+    y = op32(x)
+    g_ref = jax.grad(lambda d: jnp.mean((op32(d) - y) ** 2))(x)
+    g_sh = jax.grad(lambda d: jnp.mean((sop(d) - y) ** 2))(x)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4)
