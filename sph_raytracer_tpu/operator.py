@@ -192,9 +192,11 @@ class Operator:
             return None
         return jax.local_devices(backend=pd)[0]
 
-    def _trace_cache_path(self):
+    def _trace_cache_path(self, suffix: str = ""):
         """Opt-in on-disk cache for traced crossing tables
-        (``SPH_TPU_TRACE_CACHE=<dir>``): keyed by (grid, rays, dtypes)."""
+        (``SPH_TPU_TRACE_CACHE=<dir>``): keyed by (grid, rays, dtypes);
+        ``suffix`` scopes partial traces (per-shard ranges of the
+        process-local multi-host build)."""
         import hashlib
         import os
 
@@ -214,6 +216,7 @@ class Operator:
         # entered-region forward fill — v1 traces carry stale labels
         # v3: host-precision hash inputs (cache key changed, not format)
         h.update(f"{self.config.ftype}/{self.config.itype}/v3".encode())
+        h.update(suffix.encode())
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"trace_{h.hexdigest()[:24]}.npz")
 

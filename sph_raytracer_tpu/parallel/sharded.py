@@ -289,6 +289,7 @@ class ShardedOperator(Operator):
         routing is local to a (tile, density-window) group.
         """
         import contextlib
+        import os
 
         from ..ops.project import precompute_table
         from ..operator import _round_block
@@ -328,15 +329,22 @@ class ShardedOperator(Operator):
                 lin_d = np.zeros((0, M), np.dtype(cfg.itype))
                 lens_d = np.zeros((0, M), np.float32)
             else:
-                with ctx:
-                    lin, lens, nn, _ = precompute_table(
-                        self.gs, xs_f[lo:hi].astype(ft_np),
-                        rays_f[lo:hi].astype(ft_np),
-                        block=min(cfg.precompute_block_rays,
-                                  _round_block(hi - lo)),
-                        itype=cfg.itype)
-                lin_d = np.asarray(lin)[:nn]
-                lens_d = np.asarray(lens)[:nn]
+                cache = self._trace_cache_path(suffix=f"range{lo}-{hi}")
+                if cache is not None and os.path.exists(cache):
+                    z = np.load(cache)
+                    lin_d, lens_d = z["lin"], z["lens"]
+                else:
+                    with ctx:
+                        lin, lens, nn, _ = precompute_table(
+                            self.gs, xs_f[lo:hi].astype(ft_np),
+                            rays_f[lo:hi].astype(ft_np),
+                            block=min(cfg.precompute_block_rays,
+                                      _round_block(hi - lo)),
+                            itype=cfg.itype)
+                    lin_d = np.asarray(lin)[:nn]
+                    lens_d = np.asarray(lens)[:nn]
+                    if cache is not None:
+                        np.savez(cache, lin=lin_d, lens=lens_d)
                 if offs is not None:
                     lin_d = (lin_d + offs[lo:hi, None]).astype(lin_d.dtype)
             ft, bt = banded_shard_local(
