@@ -35,3 +35,46 @@ def test_time_fn_runs():
 def test_fetch_sync():
     out = fetch_sync({"a": jnp.ones(4), "b": (jnp.zeros(2),)})
     assert len(out) == 2
+
+
+# ---------------------------------------------------------------------------
+# AOT export for serving (utils/export.py; no reference analog)
+
+def test_export_forward_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+    from sph_raytracer_tpu.utils.export import export_operator, load_exported
+
+    grid = SphericalGrid(shape=(6, 6, 6), size_r=(1, 4))
+    geom = ConeRectGeom((5, 7), (8, 0.5, 0.2), fov=(30, 30))
+    op = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)),
+                    jnp.float32)
+    p = str(tmp_path / "fwd.zip")
+    export_operator(op, p, what="forward")
+    served = load_exported(p)
+    assert np.allclose(np.asarray(served(x)), np.asarray(op(x)), atol=1e-6)
+
+
+def test_export_grad_step_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+    from sph_raytracer_tpu.utils.export import export_operator, load_exported
+
+    grid = SphericalGrid(shape=(6, 6, 6), size_r=(1, 4))
+    geom = ConeRectGeom((5, 7), (8, 0.5, 0.2), fov=(30, 30))
+    op = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.random(tuple(grid.shape)), jnp.float32)
+    y = op(x)
+    p = str(tmp_path / "step.zip")
+    export_operator(op, p, what="grad_step", loss_y=y)
+    served = load_exported(p)
+    g_ref = jax.grad(lambda d: jnp.mean((op(d) - y) ** 2))(x)
+    assert np.allclose(np.asarray(served(x, y)), np.asarray(g_ref),
+                       atol=1e-6)
