@@ -65,9 +65,13 @@ class TraceConfig:
     routed_sr: int = 64
     routed_kd: int = 3
     # band-compacted engine (TPU): SR=routed_band_rows routing packed
-    # into B-band superchunks; only live density bands occupy table slots
+    # into B-band superchunks; only live density bands occupy table slots.
+    # B=32 measured on v5e flagship (with auto chunk padding -> CM=64):
+    # fwd 2.84 ms / bwd 2.46 ms vs 3.18/3.01 at B=16 — fewer, bigger grid
+    # steps amortize the ~160 ns/step base cost; B=64 is only ~5% more
+    # (2.69/2.39) and wastes more dummy bands on small problems.
     routed_banded: bool = True
-    routed_bands: int = 16
+    routed_bands: int = 32
     # rows per band (multiple of 8): taller bands trade a few dead table
     # rows for proportionally fewer per-band block DMAs — the dominant
     # kernel cost once superchunks are large

@@ -39,7 +39,7 @@ def main():
         routed_sr=int(os.environ.get("SPH_SR", 64)),
         routed_kd=int(os.environ.get("SPH_KD", 3)),
         routed_banded=os.environ.get("SPH_BANDED", "1") == "1",
-        routed_bands=int(os.environ.get("SPH_BANDS", 16)),
+        routed_bands=int(os.environ.get("SPH_BANDS", 32)),
         routed_band_rows=int(os.environ.get("SPH_BR", 8)),
         routed_chunk_multiple=(
             "auto" if os.environ.get("SPH_CM", "auto") == "auto"
