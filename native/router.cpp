@@ -53,6 +53,67 @@ std::vector<int64_t> run_starts(int64_t n, F key) {
 
 extern "C" {
 
+// Number of live (length > 0) crossings in a (R, M) lens table.
+int64_t count_live(const float* lens, int64_t n) {
+  int64_t c = 0;
+#pragma omp parallel for schedule(static) reduction(+ : c)
+  for (int64_t i = 0; i < n; ++i) c += lens[i] > 0.0f;
+  return c;
+}
+
+// Compact live crossings out of the (R, M) packed trace tables and derive
+// every per-crossing routing key in one parallel pass.  Replaces the
+// single-threaded numpy pipeline (np.nonzero + boolean-mask gathers +
+// divmods, ~7 s on the 17M-crossing flagship) with ~0.3 s.  Emission
+// order is row-major (rows ascending, crossings in-row ascending) —
+// exactly np.nonzero's order — so downstream tables stay bit-identical.
+// Output arrays must have count_live() elements.
+void preprocess(const int32_t* lin, const float* lens, int64_t R, int64_t M,
+                int64_t G, int64_t NSG, int32_t SR,
+                int64_t* rowkey, int64_t* tsg, int32_t* p, int32_t* lv,
+                int32_t* lp, int8_t* hi, int16_t* qoff, float* w) {
+  const int64_t LANES = 128;
+  const int64_t BLK = 256;  // rows per offset block
+  const int64_t nb = (R + BLK - 1) / BLK;
+  std::vector<int64_t> off(nb + 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    const int64_t i0 = b * BLK * M;
+    const int64_t i1 = std::min(R, (b + 1) * BLK) * M;
+    int64_t c = 0;
+    for (int64_t i = i0; i < i1; ++i) c += lens[i] > 0.0f;
+    off[b + 1] = c;
+  }
+  for (int64_t b = 0; b < nb; ++b) off[b + 1] += off[b];
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < nb; ++b) {
+    int64_t o = off[b];
+    const int64_t r1 = std::min(R, (b + 1) * BLK);
+    for (int64_t r = b * BLK; r < r1; ++r) {
+      const int64_t tile = r / G;
+      const int64_t pp = r % G;
+      for (int64_t m = 0; m < M; ++m) {
+        const float wv = lens[r * M + m];
+        if (!(wv > 0.0f)) continue;
+        const int64_t v = lin[r * M + m];
+        const int64_t q = v / LANES;
+        const int64_t sg = q / SR;
+        const int64_t qf = q % SR;
+        const int64_t ts = tile * NSG + sg;
+        rowkey[o] = ts * SR + qf;
+        tsg[o] = ts;
+        p[o] = static_cast<int32_t>(pp);
+        lv[o] = static_cast<int32_t>(v % LANES);
+        lp[o] = static_cast<int32_t>(pp % LANES);
+        hi[o] = static_cast<int8_t>(pp / LANES);
+        qoff[o] = static_cast<int16_t>(qf);
+        w[o] = wv;
+        ++o;
+      }
+    }
+  }
+}
+
 // Assign every live crossing to its (chunk, row, col) slot plus reduce
 // pass, and emit per-crossing layout fields.  Returns NC (number of
 // chunks) on success, -1 if chunk_cap is too small, -2 if the reduce

@@ -15,7 +15,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["native_assign", "native_fill", "available", "build_native"]
+__all__ = ["native_assign", "native_fill", "native_preprocess",
+           "available", "build_native"]
 
 LANES = 128
 
@@ -78,6 +79,19 @@ def _load():
             + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                ctypes.c_int64]                       # n, SR, KD, NR
             + [i8p, f32p] + [i8p] * 5 + [f32p] + [i8p] * 7  # out tables
+        )
+    if hasattr(lib, "preprocess"):
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        i64p2 = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.count_live.restype = ctypes.c_int64
+        lib.count_live.argtypes = [f32p, ctypes.c_int64]
+        lib.preprocess.restype = None
+        lib.preprocess.argtypes = (
+            [i32p, f32p]                              # lin, lens
+            + [ctypes.c_int64] * 4 + [ctypes.c_int32]  # R, M, G, NSG, SR
+            + [i64p2, i64p2, i32p, i32p, i32p, i8p, i16p, f32p]
         )
     _LIB = lib
     return _LIB
@@ -147,6 +161,49 @@ def native_assign(rowkey, tsg, p, lv, lp, NSG: int, SR: int, KD: int
         chunk_sg=chunk_sg[:NC].copy(), chunk_tile=chunk_tile[:NC].copy(),
         NC=NC, max_run_fwd=int(mrf.value), max_run_bwd=int(mrb.value),
     )
+
+
+def native_preprocess(lin, lens, G: int, NSG: int, SR: int
+                      ) -> Optional[dict]:
+    """Compact live crossings + derive routing keys in one parallel
+    native pass (bit-identical to the numpy nonzero/gather/divmod
+    pipeline, which is ~7 s single-threaded at 17M crossings).  Returns
+    None if the library or symbol is unavailable or dtypes don't fit."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "preprocess"):
+        return None
+    lin = np.asarray(lin)
+    if lin.dtype != np.int32:
+        if lin.size and (lin.max() >= 2**31 or lin.min() < 0):
+            return None
+        lin = lin.astype(np.int32)
+    lin = np.ascontiguousarray(lin)
+    lens = np.ascontiguousarray(lens, np.float32)
+    R, M = lin.shape
+
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    def P(a, t):
+        return a.ctypes.data_as(t)
+
+    n = int(lib.count_live(P(lens, f32p), R * M))
+    out = dict(
+        rowkey=np.empty(n, np.int64), tsg=np.empty(n, np.int64),
+        p=np.empty(n, np.int32), lv=np.empty(n, np.int32),
+        lp=np.empty(n, np.int32), hi=np.empty(n, np.int8),
+        qoff=np.empty(n, np.int16), w=np.empty(n, np.float32), n=n,
+    )
+    if n:
+        lib.preprocess(
+            P(lin, i32p), P(lens, f32p), R, M, G, NSG, SR,
+            P(out["rowkey"], i64p), P(out["tsg"], i64p), P(out["p"], i32p),
+            P(out["lv"], i32p), P(out["lp"], i32p), P(out["hi"], i8p),
+            P(out["qoff"], i16p), P(out["w"], f32p))
+    return out
 
 
 def native_fill(na: dict, hi, lp, lv, qoff, w, SR: int, KD: int, NR: int

@@ -217,6 +217,25 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     H = _round_up(max(1, math.ceil(volume_size / LANES)), SR)
     NSG = H // SR
 
+    # ---- fully-native fast path ------------------------------------------
+    # compaction + key derivation + slot assignment + table fill all in
+    # C++ (each pass parallel, bit-identical to the numpy pipeline below
+    # — tested); the flagship build drops 17.9 s -> ~10 s
+    if use_native:
+        from .native_router import native_assign, native_preprocess
+
+        pre = native_preprocess(lin, lens, G, NSG, SR)
+        if pre is not None:
+            if pre["n"] == 0:
+                return _empty_tables(SR, KD, G, HI, T, H, R, volume_size)
+            na = native_assign(pre["rowkey"], pre["tsg"], pre["p"],
+                               pre["lv"], pre["lp"], NSG, SR, KD)
+            if na is not None:
+                return _fill_tables_native(
+                    na, pre["hi"], pre["lp"].astype(np.int16),
+                    pre["lv"].astype(np.int16), pre["qoff"], pre["w"],
+                    SR, KD, G, HI, T, H, R, volume_size, pre["n"])
+
     keep = lens > 0
     # int32 index math where the ranges allow (they do for any practical
     # config: rowkey < 2^31 needs T·NSG·SR < 2^31) — halves the memory
