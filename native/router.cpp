@@ -23,6 +23,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <omp.h>
 #include <parallel/algorithm>
 #include <vector>
 
@@ -111,6 +112,48 @@ void preprocess(const int32_t* lin, const float* lens, int64_t R, int64_t M,
         ++o;
       }
     }
+  }
+}
+
+// Per-chunk stats in one parallel pass: max reduce pass (kmax), max
+// forward run length (run end positions rposf+1), max backward run
+// length (placed-run ends rposb+1).  Replaces three np.maximum.at
+// scatter-reductions (~1.5 s at 17M crossings).  Outputs length NC.
+void chunk_stats(const int32_t* chunk_of, const uint8_t* kpass,
+                 const uint8_t* runend, const uint8_t* lastp,
+                 const uint8_t* rposf, const uint8_t* rposb,
+                 int64_t n, int64_t NC,
+                 int32_t* kmax, int32_t* mrf, int32_t* mrb) {
+  const int nt = omp_get_max_threads();
+  std::vector<int32_t> part(static_cast<size_t>(3) * nt * NC, 0);
+#pragma omp parallel
+  {
+    const int t = omp_get_thread_num();
+    int32_t* K = part.data() + static_cast<size_t>(3) * t * NC;
+    int32_t* F = K + NC;
+    int32_t* B = F + NC;
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t c = chunk_of[i];
+      K[c] = std::max(K[c], static_cast<int32_t>(kpass[i]));
+      if (runend[i])
+        F[c] = std::max(F[c], static_cast<int32_t>(rposf[i]) + 1);
+      if (lastp[i])
+        B[c] = std::max(B[c], static_cast<int32_t>(rposb[i]) + 1);
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < NC; ++c) {
+    int32_t k = 0, f = 0, b = 0;
+    for (int t = 0; t < nt; ++t) {
+      const int32_t* K = part.data() + static_cast<size_t>(3) * t * NC;
+      k = std::max(k, K[c]);
+      f = std::max(f, K[NC + c]);
+      b = std::max(b, K[2 * NC + c]);
+    }
+    kmax[c] = k;
+    mrf[c] = f;
+    mrb[c] = b;
   }
 }
 

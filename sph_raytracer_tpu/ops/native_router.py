@@ -80,6 +80,10 @@ def _load():
                ctypes.c_int64]                       # n, SR, KD, NR
             + [i8p, f32p] + [i8p] * 5 + [f32p] + [i8p] * 7  # out tables
         )
+    if hasattr(lib, "chunk_stats"):
+        lib.chunk_stats.restype = None
+        lib.chunk_stats.argtypes = [
+            i32p] + [u8p] * 5 + [ctypes.c_int64, ctypes.c_int64] + [i32p] * 3
     if hasattr(lib, "preprocess"):
         i8p = ctypes.POINTER(ctypes.c_int8)
         i16p = ctypes.POINTER(ctypes.c_int16)
@@ -204,6 +208,29 @@ def native_preprocess(lin, lens, G: int, NSG: int, SR: int
             P(out["lv"], i32p), P(out["lp"], i32p), P(out["hi"], i8p),
             P(out["qoff"], i16p), P(out["w"], f32p))
     return out
+
+
+def native_chunk_stats(na: dict, NC: int) -> Optional[tuple]:
+    """Per-chunk (kmax, max fwd run, max bwd run) in one parallel native
+    pass; returns None when the symbol is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "chunk_stats"):
+        return None
+    n = int(na["chunk_of"].shape[0])
+    kmax = np.zeros(NC, np.int32)
+    mrf = np.zeros(NC, np.int32)
+    mrb = np.zeros(NC, np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    def P(a, t):
+        return a.ctypes.data_as(t)
+
+    lib.chunk_stats(
+        P(na["chunk_of"], i32p), P(na["kpass"], u8p), P(na["runend"], u8p),
+        P(na["lastp"], u8p), P(na["rposf"], u8p), P(na["rposb"], u8p),
+        n, NC, P(kmax, i32p), P(mrf, i32p), P(mrb, i32p))
+    return kmax, mrf, mrb
 
 
 def native_fill(na: dict, hi, lp, lv, qoff, w, SR: int, KD: int, NR: int

@@ -447,23 +447,23 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
     (arrays in original crossing order)."""
     NC = na["NC"]
     NR = NC * SR
-    rows = na["chunk_of"].astype(np.int64) * SR + qoff
-    col = na["col"].astype(np.int64)
-    k = na["kpass"].astype(np.int64)
-    ends = na["runend"] == 1
-    ppos = na["ppos"].astype(np.int64)
-    lastp = na["lastp"] == 1
 
     # The random scatters dominate this function's cost (latency-bound
     # 17M-element writes into ~50M-slot arrays); when the native library
     # is present they all happen in one OpenMP pass over the crossings.
-    from .native_router import native_fill
+    from .native_router import native_chunk_stats, native_fill
 
     filled = native_fill(na, hi, lp, lv, qoff, w, SR, KD, NR)
     if filled is not None:
         (lvw, wt, hi8, lp8, kcolt, rposf_t, rposb_t, wp, lp8p, kcolp,
          perm, put, putv, src, hik) = filled
     else:
+        rows = na["chunk_of"].astype(np.int64) * SR + qoff
+        col = na["col"].astype(np.int64)
+        k = na["kpass"].astype(np.int64)
+        ends = na["runend"] == 1
+        ppos = na["ppos"].astype(np.int64)
+        lastp = na["lastp"] == 1
         lvw = np.zeros((NR, LANES), np.int8)
         wt = np.zeros((NR, LANES), np.float32)
         hi8 = np.zeros((NR, LANES), np.int8)
@@ -498,13 +498,22 @@ def _fill_tables_native(na, hi, lp, lv, qoff, w, SR, KD, G, HI, T, H, R,
         put[rows[lastp], lv[lastp]] = ppos[lastp].astype(np.int8)
         putv[rows[lastp], lv[lastp]] = 1
 
-    kmax_c = np.zeros(NC, np.int32)
-    np.maximum.at(kmax_c, na["chunk_of"], k.astype(np.int32))
-    # per-chunk scan depths from run lengths (rpos at run end + 1)
-    sdf = _chunk_depths(na["chunk_of"][ends],
-                        na["rposf"][ends].astype(np.int64) + 1, NC)
-    sdb = _chunk_depths(na["chunk_of"][lastp],
-                        na["rposb"][lastp].astype(np.int64) + 1, NC)
+    stats = native_chunk_stats(na, NC)
+    if stats is not None:
+        kmax_c, mrf, mrb = stats
+        # per-chunk scan depths from run lengths (rpos at run end + 1)
+        sdf = np.ceil(np.log2(np.maximum(mrf, 1))).astype(np.int32)
+        sdb = np.ceil(np.log2(np.maximum(mrb, 1))).astype(np.int32)
+    else:
+        ends = na["runend"] == 1
+        lastp = na["lastp"] == 1
+        kmax_c = np.zeros(NC, np.int32)
+        np.maximum.at(kmax_c, na["chunk_of"],
+                      na["kpass"].astype(np.int32))
+        sdf = _chunk_depths(na["chunk_of"][ends],
+                            na["rposf"][ends].astype(np.int64) + 1, NC)
+        sdb = _chunk_depths(na["chunk_of"][lastp],
+                            na["rposb"][lastp].astype(np.int64) + 1, NC)
 
     sg_c = na["chunk_sg"]
     tile_c = na["chunk_tile"]
