@@ -365,20 +365,39 @@ class Operator:
 
         cfg = self.config
         B = cfg.routed_bands
-        rt8 = build_routed_tables(
-            lin_h, lens_h, self._flat_size,
-            G=cfg.routed_g, SR=cfg.routed_band_rows, KD=cfg.routed_kd)
-        btF = band_pack(rt8, B=B, by="tile",
-                        chunk_multiple=cfg.routed_chunk_multiple)
-        btB = band_pack(rt8, B=B, by="window",
-                        chunk_multiple=cfg.routed_chunk_multiple)
-        if timing:
-            import sys
+        cache = self._trace_cache_path(
+            suffix=f"banded/{cfg.routed_g}/{cfg.routed_band_rows}/"
+                   f"{cfg.routed_kd}/{B}/{cfg.routed_chunk_multiple}")
+        import os
 
-            print(f"[timing] router {time.time() - t0:.1f}s "
-                  f"(NCB={btF.NCB}/{btB.NCB}, "
-                  f"{(btF.table_bytes + btB.table_bytes) / 1e9:.2f} GB "
-                  f"banded)", file=sys.stderr)
+        if cache is not None and os.path.exists(cache):
+            from .ops.route import load_banded_pair
+
+            btF, btB = load_banded_pair(cache)
+            if timing:
+                import sys
+
+                print(f"[timing] banded-table cache hit "
+                      f"{time.time() - t0:.1f}s", file=sys.stderr)
+        else:
+            rt8 = build_routed_tables(
+                lin_h, lens_h, self._flat_size,
+                G=cfg.routed_g, SR=cfg.routed_band_rows, KD=cfg.routed_kd)
+            btF = band_pack(rt8, B=B, by="tile",
+                            chunk_multiple=cfg.routed_chunk_multiple)
+            btB = band_pack(rt8, B=B, by="window",
+                            chunk_multiple=cfg.routed_chunk_multiple)
+            if cache is not None:
+                from .ops.route import save_banded_pair
+
+                save_banded_pair(cache, btF, btB)
+            if timing:
+                import sys
+
+                print(f"[timing] router {time.time() - t0:.1f}s "
+                      f"(NCB={btF.NCB}/{btB.NCB}, "
+                      f"{(btF.table_bytes + btB.table_bytes) / 1e9:.2f} GB "
+                      f"banded)", file=sys.stderr)
         t0 = time.time()
         ft, meta = banded_device_fwd(btF)
         btd, metab = banded_device_bwd(btB)

@@ -790,6 +790,51 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     )
 
 
+def save_banded_pair(path: str, btF: BandedTables, btB: BandedTables
+                     ) -> None:
+    """Atomically save a (fwd, bwd) BandedTables pair to one ``.npz``
+    (the on-disk routed-table cache: rebuilding the flagship tables costs
+    ~12 s of routing; loading them back is I/O-bound)."""
+    import os
+    import tempfile
+
+    arrs = {}
+    for pfx, bt in (("f", btF), ("b", btB)):
+        for fld in dataclasses.fields(BandedTables):
+            v = getattr(bt, fld.name)
+            if isinstance(v, np.ndarray):
+                arrs[f"{pfx}_{fld.name}"] = v
+            else:
+                arrs[f"{pfx}s_{fld.name}"] = np.asarray(v)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **arrs)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_banded_pair(path: str):
+    """Load a pair saved by :func:`save_banded_pair`."""
+    with np.load(path, allow_pickle=False) as z:
+        def mk(pfx):
+            kw = {}
+            for fld in dataclasses.fields(BandedTables):
+                a, s = f"{pfx}_{fld.name}", f"{pfx}s_{fld.name}"
+                if a in z:
+                    kw[fld.name] = z[a]
+                else:
+                    v = z[s]
+                    kw[fld.name] = (str(v) if v.dtype.kind == "U"
+                                    else int(v))
+            return BandedTables(**kw)
+        return mk("f"), mk("b")
+
+
 def _empty_banded(rt: RoutedTables, B: int, by: str,
                   chunk_multiple: int) -> BandedTables:
     """All-dummy banded tables for an empty shard (no live crossings)."""
