@@ -792,47 +792,55 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
 
 def save_banded_pair(path: str, btF: BandedTables, btB: BandedTables
                      ) -> None:
-    """Atomically save a (fwd, bwd) BandedTables pair to one ``.npz``
-    (the on-disk routed-table cache: rebuilding the flagship tables costs
-    ~12 s of routing; loading them back is I/O-bound)."""
+    """Atomically save a (fwd, bwd) BandedTables pair as a DIRECTORY of
+    raw ``.npy`` files (the on-disk routed-table cache: rebuilding the
+    flagship tables costs ~12 s of routing; per-field ``.npy`` loads
+    memory-mapped, so a warm hit costs ~nothing vs an ``.npz``'s ~9 s
+    zipfile stream at 3 GB)."""
     import os
-    import tempfile
 
-    arrs = {}
-    for pfx, bt in (("f", btF), ("b", btB)):
-        for fld in dataclasses.fields(BandedTables):
-            v = getattr(bt, fld.name)
-            if isinstance(v, np.ndarray):
-                arrs[f"{pfx}_{fld.name}"] = v
-            else:
-                arrs[f"{pfx}s_{fld.name}"] = np.asarray(v)
-    d = os.path.dirname(os.path.abspath(path)) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    tmp = f"{path}.tmp-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     try:
-        with os.fdopen(fd, "wb") as fh:
-            np.savez(fh, **arrs)
-        os.replace(tmp, path)
+        for pfx, bt in (("f", btF), ("b", btB)):
+            for fld in dataclasses.fields(BandedTables):
+                v = getattr(bt, fld.name)
+                key = (f"{pfx}_{fld.name}" if isinstance(v, np.ndarray)
+                       else f"{pfx}s_{fld.name}")
+                np.save(os.path.join(tmp, key + ".npy"), np.asarray(v))
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            import shutil
+
+            # lost a save race: another process installed the dir first
+            if not os.path.isdir(path):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
         raise
 
 
 def load_banded_pair(path: str):
-    """Load a pair saved by :func:`save_banded_pair`."""
-    with np.load(path, allow_pickle=False) as z:
-        def mk(pfx):
-            kw = {}
-            for fld in dataclasses.fields(BandedTables):
-                a, s = f"{pfx}_{fld.name}", f"{pfx}s_{fld.name}"
-                if a in z:
-                    kw[fld.name] = z[a]
-                else:
-                    v = z[s]
-                    kw[fld.name] = (str(v) if v.dtype.kind == "U"
-                                    else int(v))
-            return BandedTables(**kw)
-        return mk("f"), mk("b")
+    """Load a pair saved by :func:`save_banded_pair` (arrays
+    memory-mapped; pages stream in on first use)."""
+    import os
+
+    def mk(pfx):
+        kw = {}
+        for fld in dataclasses.fields(BandedTables):
+            a = os.path.join(path, f"{pfx}_{fld.name}.npy")
+            s = os.path.join(path, f"{pfx}s_{fld.name}.npy")
+            if os.path.exists(a):
+                kw[fld.name] = np.load(a, mmap_mode="r")
+            else:
+                v = np.load(s)
+                kw[fld.name] = str(v) if v.dtype.kind == "U" else int(v)
+        return BandedTables(**kw)
+    return mk("f"), mk("b")
 
 
 def _empty_banded(rt: RoutedTables, B: int, by: str,
