@@ -22,6 +22,7 @@ from .viewgeom import (
     ViewGeomCollection,
 )
 from .config import TraceConfig
+from .tune import autotune
 
 # submodules (imported lazily by attribute in the reference; eager here so
 # `sph_raytracer_tpu.loss` etc. work after a bare package import)
@@ -36,6 +37,7 @@ __all__ = [
     "ConeCircGeom",
     "ParallelGeom",
     "TraceConfig",
+    "autotune",
     "loss",
     "models",
     "plotting",

@@ -1,0 +1,137 @@
+"""Routed-layout autotuner.
+
+The banded engine's throughput depends on layout parameters — superchunk
+band count ``B``, band height ``SRb``, tile size ``G`` — whose optimum
+shifts with problem shape (measured on v5e: B=32 beats B=16 by ~20% on
+the flagship, while tiny problems want small B).  ``autotune`` measures a
+small candidate set end-to-end on the current backend (fetch-synced slope
+timing, the only honest clock through relayed TPUs) and returns the
+fastest :class:`~sph_raytracer_tpu.config.TraceConfig`.
+
+Costs one table build + kernel compile per candidate on first run — the
+crossing trace is shared across candidates via the trace cache, and each
+layout's tables land in the banded-table cache — and ~nothing afterwards:
+results persist to a JSON sidecar keyed by (backend, grid, geometry).
+
+Usage::
+
+    cfg = autotune(grid, geom)          # measures once, then cached
+    op = Operator(grid, geom, config=cfg)
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import TraceConfig
+
+__all__ = ["autotune", "DEFAULT_CANDIDATES"]
+
+# (routed_bands, routed_band_rows); G/KD stay at their measured global
+# optima (G=4096 is the packed-key ceiling, KD=3 covers all spills there)
+DEFAULT_CANDIDATES: Tuple[Tuple[int, int], ...] = (
+    (16, 8), (32, 8), (64, 8), (16, 16), (32, 16), (16, 32),
+)
+
+
+def _sig(grid, geom, backend: str, config: TraceConfig) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(repr(tuple(grid.shape)).encode())
+    for a in (grid.r_b, grid.e_b, grid.a_b):
+        h.update(np.asarray(a, np.float64).tobytes())
+    h.update(np.asarray(geom.ray_starts, np.float64).tobytes())
+    h.update(np.asarray(geom.rays, np.float64).tobytes())
+    h.update(f"{backend}/{config.routed_g}/{config.routed_kd}/v1".encode())
+    return h.hexdigest()[:24]
+
+
+def autotune(grid, geom, candidates: Optional[Sequence] = None,
+             config: Optional[TraceConfig] = None, ftype=None,
+             iters: int = 6, cache: bool = True,
+             verbose: bool = False) -> TraceConfig:
+    """Measure candidate routed layouts and return the fastest config.
+
+    Args:
+        grid / geom: as :class:`~sph_raytracer_tpu.operator.Operator`.
+        candidates: iterable of ``(routed_bands, routed_band_rows)``
+            (default :data:`DEFAULT_CANDIDATES`).
+        config: base config; tuned fields are replaced.
+        iters: timing iterations per candidate (slope timing).
+        cache: persist/reuse the result (JSON beside the trace cache,
+            or ``~/.cache/sph_raytracer_tpu`` when no trace cache is set).
+        verbose: print per-candidate times to stderr.
+
+    Returns:
+        The base config with ``mode='routed'`` and the fastest
+        ``(routed_bands, routed_band_rows)``.
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from .operator import Operator
+    from .utils.profiling import time_fn
+
+    base = (config or TraceConfig()).replace(mode="routed")
+    if ftype is not None:
+        base = base.replace(ftype=ftype)
+    candidates = list(candidates or DEFAULT_CANDIDATES)
+
+    backend = jax.default_backend()
+    cdir = os.environ.get("SPH_TPU_TRACE_CACHE") or os.path.expanduser(
+        "~/.cache/sph_raytracer_tpu")
+    cpath = os.path.join(cdir, f"tune_{_sig(grid, geom, backend, base)}.json")
+    if cache and os.path.exists(cpath):
+        with open(cpath) as fh:
+            saved = json.load(fh)
+        if verbose:
+            print(f"[autotune] cached: B={saved['bands']} "
+                  f"SRb={saved['band_rows']}", file=sys.stderr)
+        return base.replace(routed_bands=int(saved["bands"]),
+                            routed_band_rows=int(saved["band_rows"]))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(tuple(grid.shape)),
+                    jnp.dtype(base.ftype))
+    results = []
+    for bands, rows in candidates:
+        cfg = base.replace(routed_bands=int(bands),
+                           routed_band_rows=int(rows))
+        try:
+            op = Operator(grid, geom, config=cfg)
+            y = op(x)
+
+            def step(v, pl, _op=op, _y=y):
+                fx = _op.with_payload(pl)
+                return jax.grad(
+                    lambda d: jnp.mean((fx(d) - _y) ** 2))(v)
+
+            sj = jax.jit(step)
+            t = time_fn(sj, x, op.payload, iters=iters)
+        except Exception as e:  # layout infeasible (e.g. VMEM) — skip
+            if verbose:
+                print(f"[autotune] B={bands} SRb={rows}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+            continue
+        results.append((t, bands, rows))
+        if verbose:
+            print(f"[autotune] B={bands} SRb={rows}: {t*1e3:.2f} ms/step",
+                  file=sys.stderr)
+    if not results:
+        raise RuntimeError("autotune: every candidate failed")
+    t, bands, rows = min(results)
+    if cache:
+        os.makedirs(cdir, exist_ok=True)
+        with open(cpath, "w") as fh:
+            json.dump({"bands": bands, "band_rows": rows,
+                       "ms_per_step": t * 1e3,
+                       "all": [{"bands": b, "band_rows": r,
+                                "ms": tt * 1e3}
+                               for tt, b, r in sorted(results)]}, fh)
+    return base.replace(routed_bands=bands, routed_band_rows=rows)

@@ -78,3 +78,32 @@ def test_export_grad_step_roundtrip(tmp_path):
     g_ref = jax.grad(lambda d: jnp.mean((op(d) - y) ** 2))(x)
     assert np.allclose(np.asarray(served(x, y)), np.asarray(g_ref),
                        atol=1e-6)
+
+
+def test_autotune_mechanics(tmp_path, monkeypatch):
+    """autotune measures candidates (interpret kernels on CPU), returns a
+    routed config, and caches the choice to a JSON sidecar."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_raytracer_tpu import (ConeRectGeom, Operator, SphericalGrid,
+                                   TraceConfig, autotune)
+
+    monkeypatch.setenv("SPH_TPU_TRACE_CACHE", str(tmp_path))
+    grid = SphericalGrid(shape=(8, 8, 8), size_r=(1, 4))
+    geom = ConeRectGeom((6, 8), (8, 0.5, 0.2), fov=(35, 35))
+    base = TraceConfig(interpret=True, routed_g=128)
+    cfg = autotune(grid, geom, candidates=[(4, 8), (8, 8)], config=base,
+                   iters=1)
+    assert cfg.mode == "routed" and cfg.routed_bands in (4, 8)
+    import os
+    assert any(f.startswith("tune_") for f in os.listdir(tmp_path))
+    cfg2 = autotune(grid, geom, candidates=[(4, 8), (8, 8)], config=base,
+                    iters=1)  # cached
+    assert (cfg2.routed_bands, cfg2.routed_band_rows) == \
+        (cfg.routed_bands, cfg.routed_band_rows)
+    op = Operator(grid, geom, config=cfg)
+    x = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)),
+                    jnp.float32)
+    op0 = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
+    assert np.allclose(np.asarray(op(x)), np.asarray(op0(x)), atol=1e-4)
