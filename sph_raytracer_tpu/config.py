@@ -55,6 +55,15 @@ class TraceConfig:
     # CPU, so 'auto' traces on the host CPU backend when one is available
     # alongside a TPU.  None = trace on the default backend.
     pdevice: Optional[str] = "auto"
+    # crossing-trace pipeline: 'sorted' (single-key lax.sort — fastest on
+    # CPU hosts), 'ranked' (sort-free all-pairs ranking — fastest on TPU,
+    # 4.2 s vs 5.4 s flagship on v5e, at O(block*M^2) transients), or
+    # 'auto' = ranked when the trace runs on a TPU backend.  Both label
+    # segments identically (midpoint classification); ranked emits the
+    # same (index, length) pairs in concatenation order instead of
+    # t-sorted order, which no consumer depends on (projection is a
+    # gather-sum; the router lexsorts crossings itself).
+    trace_method: str = "auto"
     # lane-routed engine parameters (ops/route.py): rays per tile, window
     # rows, reduce passes.  Measured flagship sweet spot on v5e: G=4096
     # (the packed-key / int8-HI ceiling) packs the 128 slot columns ~50%

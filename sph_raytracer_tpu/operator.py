@@ -72,10 +72,13 @@ class Operator:
     def __init__(self, grid: SphericalGrid, geom: ViewGeom, dynamic=None,
                  config: Optional[TraceConfig] = None,
                  mode: Optional[str] = None, ftype=None, itype=None,
+                 trace_method: Optional[str] = None,
                  _compute: bool = True):
         config = config or TraceConfig()
         if mode is not None:
             config = config.replace(mode=mode)
+        if trace_method is not None:
+            config = config.replace(trace_method=trace_method)
         if ftype is not None:
             config = config.replace(ftype=jnp.dtype(ftype))
         if itype is not None:
@@ -227,7 +230,16 @@ class Operator:
 
         t0 = time.time()
         config = self.config
-        cache = self._trace_cache_path()
+        cache_on = os.environ.get("SPH_TPU_TRACE_CACHE") is not None
+        dev = self._pdevice(need_host=(not device) or cache_on)
+        platform = dev.platform if dev is not None else jax.default_backend()
+        method = config.trace_method
+        if method == "auto":
+            method = "ranked" if platform == "tpu" else "sorted"
+        # ranked traces emit crossings in concatenation order — key the
+        # cache by method so sorted/ranked artifacts never alias
+        cache = self._trace_cache_path(
+            suffix="ranked/" if method == "ranked" else "")
         if cache and os.path.exists(cache):
             z = np.load(cache)
             self._lin_host, self._lens_host = z["lin"], z["lens"]
@@ -242,7 +254,6 @@ class Operator:
             return (jax.device_put(self._lin_host),
                     jax.device_put(self._lens_host),
                     int(z["n"]), tuple(z["rs"]))
-        dev = self._pdevice(need_host=(not device) or cache is not None)
         ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
         with ctx:
             lin, lens, n, rs = precompute_table(
@@ -252,6 +263,7 @@ class Operator:
                 block=min(config.precompute_block_rays,
                           _round_block(self._nrays)),
                 itype=config.itype,
+                method=method,
             )
             if dev is not None or cache or not device:
                 # stash host copies (the routed router consumes numpy; a

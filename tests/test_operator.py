@@ -233,3 +233,22 @@ def test_fused_matches_precomputed_nonunit_grid():
     op_a = Operator(grid, geom, mode="precomputed", ftype=jnp.float64)
     op_b = Operator(grid, geom, mode="fused", ftype=jnp.float64)
     assert np.allclose(np.asarray(op_a(d)), np.asarray(op_b(d)), atol=1e-9)
+
+
+def test_trace_method_ranked_matches_sorted():
+    """`trace_method='ranked'` (the on-TPU auto choice) produces the same
+    forward projection and volume gradient as the sorted pipeline through
+    the full precomputed-mode Operator."""
+    grid = SphericalGrid(shape=(8, 8, 8), size_r=(0, 3))
+    geom = ConeRectGeom((6, 7), pos=(6.0, 1e-3, 2e-3), fov=(35, 35))
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(rng.uniform(size=grid.shape), F64)
+    op_s = Operator(grid, geom, mode="precomputed", ftype=jnp.float64,
+                    trace_method="sorted")
+    op_r = Operator(grid, geom, mode="precomputed", ftype=jnp.float64,
+                    trace_method="ranked")
+    assert np.allclose(np.asarray(op_s(d)), np.asarray(op_r(d)), atol=1e-9)
+    y = jnp.asarray(rng.uniform(size=(6, 7)), F64)
+    gs_ = jax.grad(lambda v: jnp.vdot(op_s(v), y))(d)
+    gr_ = jax.grad(lambda v: jnp.vdot(op_r(v), y))(d)
+    assert np.allclose(np.asarray(gs_), np.asarray(gr_), atol=1e-9)
