@@ -38,6 +38,38 @@ import numpy as np
 REF_CPU_RAYS_PER_S = 351129.0  # reference fwd+bwd, measured on this host
 
 
+def wait_for_device(max_wait_s: float = 1800.0):
+    """The relayed TPU occasionally wedges (all backend calls hang) and
+    also dislikes a new client attaching immediately after the previous
+    one exits.  Probe it from a THROWAWAY subprocess until it answers,
+    then settle 60s before this process attaches (the wedge trigger is a
+    new client attaching right after the previous one exits — which is
+    exactly what probe-then-attach does, so the settle is unconditional)."""
+    import subprocess
+
+    if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+        return
+    probe = ("import jax, numpy as np, jax.numpy as jnp;"
+             "x = jnp.ones((64, 64)); y = x @ x;"
+             "np.asarray(y.ravel()[:2])")
+    t0 = time.time()
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=180,
+                           check=True, capture_output=True)
+            break
+        except Exception:
+            waited = time.time() - t0
+            if waited > max_wait_s:
+                print(f"[bench] device probe still failing after "
+                      f"{waited:.0f}s — proceeding anyway", file=sys.stderr)
+                return
+            print(f"[bench] device probe failed ({waited:.0f}s elapsed); "
+                  "retrying in 120s", file=sys.stderr)
+            time.sleep(120)
+    time.sleep(60)  # settle: relay wedges on immediate re-attach
+
+
 def fetch_sync(x):
     """Force completion: block_until_ready is unreliable through device
     relays — fetching data is the only true sync."""
@@ -58,6 +90,7 @@ def slope_time(f, args, n1=2, n2=12):
 
 
 def main():
+    wait_for_device()
     import jax
     import jax.numpy as jnp
 
