@@ -230,17 +230,16 @@ class Operator:
 
         t0 = time.time()
         config = self.config
-        cache_on = os.environ.get("SPH_TPU_TRACE_CACHE") is not None
-        dev = self._pdevice(need_host=(not device) or cache_on)
-        platform = dev.platform if dev is not None else jax.default_backend()
-        method = config.trace_method
-        if method == "auto":
-            method = "ranked" if platform == "tpu" else "sorted"
-        # ranked traces emit crossings in concatenation order — key the
-        # cache by method so sorted/ranked artifacts never alias
-        cache = self._trace_cache_path(
-            suffix="ranked/" if method == "ranked" else "")
-        if cache and os.path.exists(cache):
+        # sorted/ranked traces hold the same (index, length) pairs in
+        # different orders — accept a cached artifact of either method on
+        # read (resolving the 'auto' method needs jax.default_backend(),
+        # which would attach the device backend on what should be a
+        # JAX-free cache hit)
+        cache_paths = [self._trace_cache_path(suffix=s)
+                       for s in ("", "ranked/")]
+        cache = next((c for c in cache_paths
+                      if c and os.path.exists(c)), None)
+        if cache:
             z = np.load(cache)
             self._lin_host, self._lens_host = z["lin"], z["lens"]
             if os.environ.get("SPH_TPU_TIMING"):
@@ -254,6 +253,12 @@ class Operator:
             return (jax.device_put(self._lin_host),
                     jax.device_put(self._lens_host),
                     int(z["n"]), tuple(z["rs"]))
+        dev = self._pdevice(need_host=(not device) or cache_paths[0] is not None)
+        platform = dev.platform if dev is not None else jax.default_backend()
+        method = config.trace_method
+        if method == "auto":
+            method = "ranked" if platform == "tpu" else "sorted"
+        cache = cache_paths[1] if method == "ranked" else cache_paths[0]
         ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
         with ctx:
             lin, lens, n, rs = precompute_table(
