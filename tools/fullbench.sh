@@ -17,13 +17,18 @@ run() {  # name timeout cmd...
     sleep 60
 }
 
-run parity   590 python -u tools/tpu_parity.py
-run bench    590 python -u bench.py
-run kb_b8    590 python -u tools/kbench.py
-run kb_b16   590 env SPH_BANDS=16 python -u tools/kbench.py
-run kb_b4    590 env SPH_BANDS=4 python -u tools/kbench.py
-run kb_kd2   590 env SPH_KD=2 python -u tools/kbench.py
-run scale_fl 590 python -u tools/scalebench.py flagship views2x
-run scale_v  590 python -u tools/scalebench.py vol64 det2x
-run scale_c  590 python -u tools/scalebench.py vol100
+run parity    590 python -u tools/tpu_parity.py
+run bench     590 python -u bench.py
+# taller-band sweep (all 256 slot rows/superchunk except the last):
+# per-band DMA count scales 1/SRb at ~constant bytes — the fwd fetch
+# stage (1.67 of 2.84 ms) is per-band-DMA-bound
+run kb_b32r8  590 python -u tools/kbench.py
+run kb_b16r16 590 env SPH_BANDS=16 SPH_BR=16 python -u tools/kbench.py
+run kb_b8r32  590 env SPH_BANDS=8  SPH_BR=32 python -u tools/kbench.py
+run kb_b32r16 590 env SPH_BANDS=32 SPH_BR=16 python -u tools/kbench.py
+run kb_b16r32 590 env SPH_BANDS=16 SPH_BR=32 python -u tools/kbench.py
+run pod_check 590 python -u tools/sharded_onchip_check.py
+run scale_fl  590 python -u tools/scalebench.py flagship views2x
+run scale_v   590 python -u tools/scalebench.py vol64 det2x
+run scale_c   590 python -u tools/scalebench.py vol100 config5_shard
 echo "=== done ==="
