@@ -112,6 +112,14 @@ class Operator:
         else:
             self._view_offsets = None
             self._flat_size = self._vsize
+        # linear voxel ids must fit the index dtype (reference guards its
+        # index construction the same way, raytracer.py:273)
+        imax = int(np.iinfo(np.dtype(config.itype)).max)
+        if self._flat_size - 1 > imax:
+            raise OverflowError(
+                f"grid has {self._flat_size} linear voxels but "
+                f"itype={np.dtype(config.itype).name} indexes at most "
+                f"{imax + 1}; pass itype=jnp.int64")
 
         # device geometry in compute dtype
         # host copies first: the trace-cache key and the host-side router

@@ -252,3 +252,15 @@ def test_trace_method_ranked_matches_sorted():
     gs_ = jax.grad(lambda v: jnp.vdot(op_s(v), y))(d)
     gr_ = jax.grad(lambda v: jnp.vdot(op_r(v), y))(d)
     assert np.allclose(np.asarray(gs_), np.asarray(gr_), atol=1e-9)
+
+
+def test_itype_overflow_guard():
+    """Linear voxel ids exceeding the index dtype raise instead of
+    silently wrapping (reference overflow assert, raytracer.py:273)."""
+    import jax.numpy as jnp_
+
+    grid = SphericalGrid(shape=(8, 8, 8))  # 512 linear voxels
+    geom = ConeRectGeom((2, 2), pos=(3.0, 0, 0))
+    with pytest.raises(OverflowError):
+        Operator(grid, geom, itype=jnp_.int8, _compute=False)
+    Operator(grid, geom, itype=jnp_.int16, _compute=False)  # 512 fit int16
