@@ -196,10 +196,10 @@ def test_gd_with_sharded_operator(setup):
     y = sop(x.astype(jnp.float32))
     coeffs, reproj, losses = gd(
         sop, y, FullyDenseModel(grid),
-        num_iterations=6, chunk=3, progress_bar=False,
+        num_iterations=4, chunk=2, progress_bar=False,
         loss_fns=[SquareLoss()], learning_rate=0.1)
     hist = losses[next(iter(losses))]
-    assert len(hist) == 6
+    assert len(hist) == 4
     assert hist[-1] < hist[0]
 
 
