@@ -20,10 +20,11 @@ F32 = jnp.float32
 
 
 # (G, KD, B, SR): the G=1024 case has HI=8 so the grouped8 backward
-# g-fetch runs (it falls back to the select tree at HI<8), and SR=16
-# exercises taller-than-8-row bands
+# g-fetch runs (it falls back to the select tree at HI<8), and SR=16/32
+# exercise taller-than-8-row bands
 @pytest.fixture(scope="module",
-                params=[(256, 3, 4, 8), (128, 2, 8, 8), (1024, 2, 4, 16)])
+                params=[(256, 3, 4, 8), (128, 2, 8, 8), (1024, 2, 4, 16),
+                        (256, 2, 2, 32)])
 def setup(request):
     G, KD, B, SR = request.param
     grid = SphericalGrid(shape=(8, 8, 8))
