@@ -112,7 +112,13 @@ def main():
     print(f"[bench] devices={jax.devices()}", file=sys.stderr)
 
     t0 = time.time()
-    op = Operator(grid, geom, mode="auto", ftype=jnp.float32)
+    # use a previously autotuned layout if one is cached for this config
+    # (never measure here — the sweep belongs to tools/fullbench.sh)
+    from sph_raytracer_tpu import TraceConfig, autotune
+
+    cfg = autotune(grid, geom, config=TraceConfig(mode="auto"),
+                   cached_only=True, verbose=True).replace(mode="auto")
+    op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
     print(f"[bench] setup (trace+route+upload) {time.time() - t0:.1f}s "
           f"mode={op._mode}", file=sys.stderr)
 

@@ -52,7 +52,7 @@ def _sig(grid, geom, backend: str, config: TraceConfig) -> str:
 
 def autotune(grid, geom, candidates: Optional[Sequence] = None,
              config: Optional[TraceConfig] = None, ftype=None,
-             iters: int = 6, cache: bool = True,
+             iters: int = 6, cache: bool = True, cached_only: bool = False,
              verbose: bool = False) -> TraceConfig:
     """Measure candidate routed layouts and return the fastest config.
 
@@ -64,6 +64,10 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
         iters: timing iterations per candidate (slope timing).
         cache: persist/reuse the result (JSON beside the trace cache,
             or ``~/.cache/sph_raytracer_tpu`` when no trace cache is set).
+        cached_only: never measure — return the cached result if one
+            exists, else the base config unchanged.  Lets latency-bounded
+            callers (benchmarks, serving startup) opportunistically use a
+            previously measured layout.
         verbose: print per-candidate times to stderr.
 
     Returns:
@@ -95,6 +99,8 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
                   f"SRb={saved['band_rows']}", file=sys.stderr)
         return base.replace(routed_bands=int(saved["bands"]),
                             routed_band_rows=int(saved["band_rows"]))
+    if cached_only:
+        return base
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random(tuple(grid.shape)),

@@ -102,6 +102,15 @@ def test_autotune_mechanics(tmp_path, monkeypatch):
                     iters=1)  # cached
     assert (cfg2.routed_bands, cfg2.routed_band_rows) == \
         (cfg.routed_bands, cfg.routed_band_rows)
+    # cached_only: hits the sidecar without measuring...
+    cfg3 = autotune(grid, geom, config=base, cached_only=True)
+    assert (cfg3.routed_bands, cfg3.routed_band_rows) == \
+        (cfg.routed_bands, cfg.routed_band_rows)
+    # ...and passes the base config through when there is no sidecar
+    geom2 = ConeRectGeom((6, 8), (9, 0.5, 0.2), fov=(35, 35))
+    cfg4 = autotune(grid, geom2, config=base, cached_only=True)
+    assert (cfg4.routed_bands, cfg4.routed_band_rows) == \
+        (base.routed_bands, base.routed_band_rows)
     op = Operator(grid, geom, config=cfg)
     x = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)),
                     jnp.float32)
