@@ -18,6 +18,9 @@ run() {  # name timeout cmd...
 }
 
 run parity    590 python -u tools/tpu_parity.py
+# measures all routed-layout candidates incl. taller bands; persists the
+# winner to the tune sidecar that bench.py picks up
+run autotune 2400 python -u tools/autotune_flagship.py
 run bench     590 python -u bench.py
 # taller-band sweep (all 256 slot rows/superchunk except the last):
 # per-band DMA count scales 1/SRb at ~constant bytes — the fwd fetch
