@@ -177,3 +177,31 @@ class TVRegularizer(Loss):
 
 
 __all__.append("TVRegularizer")
+
+
+class PoissonLoss(Loss):
+    """Poisson negative log-likelihood on projections — the physical
+    noise model for photon-counting detectors (the reference's
+    application domain is UV-photometer exosphere tomography, but it
+    ships only Gaussian-type losses, loss.py:87-124).
+
+    NLL(y | rate) = mean(rate - y*log(rate)) up to a constant, with the
+    predicted rate floored at ``eps`` for differentiability at zero.
+    ``scale`` converts line integrals to expected counts (instrument
+    sensitivity x exposure).
+    """
+
+    kind = "fidelity"
+
+    def __init__(self, *args, scale=1.0, eps=1e-12, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.scale = scale
+        self.eps = eps
+
+    def compute(self, f, y, d, c):
+        rate = jnp.maximum(self.scale * f(d * self.volume_mask), self.eps)
+        nll = rate - y * jnp.log(rate)
+        return jnp.mean(self.projection_mask * nll)
+
+
+__all__.append("PoissonLoss")

@@ -172,3 +172,31 @@ def test_gd_optim_vars_rejected(problem):
     with pytest.raises(TypeError, match="pytree"):
         gd(op, y, FullyDenseModel(grid), optim_vars=[jnp.ones(())],
            progress_bar=False)
+
+
+def test_poisson_loss_retrieval():
+    """PoissonLoss minimizes at the true rates: retrieving from exact
+    (noise-free) counts recovers the projections."""
+    import jax.numpy as jnp_
+
+    from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+    from sph_raytracer_tpu.loss import PoissonLoss
+    from sph_raytracer_tpu.models import FullyDenseModel
+    from sph_raytracer_tpu.retrieval import gd
+
+    grid = SphericalGrid(shape=(6, 6, 6))
+    geom = ConeRectGeom((5, 5), pos=(3.0, 0.2, 0.1), fov=(40, 40))
+    op = Operator(grid, geom, ftype=jnp_.float32)
+    rng = np.random.default_rng(0)
+    truth = jnp_.asarray(rng.uniform(0.5, 1.5, tuple(grid.shape)),
+                         jnp_.float32)
+    y = 100.0 * op(truth)  # expected counts at scale=100
+    coeffs, reproj, losses = gd(
+        op, y, FullyDenseModel(grid), num_iterations=60, chunk=20,
+        progress_bar=False, loss_fns=[PoissonLoss(scale=100.0)],
+        learning_rate=0.05)
+    hist = losses[next(iter(losses))]
+    assert hist[-1] < hist[0]
+    rel = np.abs(100.0 * np.asarray(reproj) - np.asarray(y)) / (
+        np.asarray(y) + 1e-6)
+    assert np.median(rel) < 0.05
