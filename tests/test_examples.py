@@ -37,3 +37,8 @@ def test_sph_harm_retrieval(tmp_path, monkeypatch, capsys):
     rel = float(capsys.readouterr().out.split("relative volume error:")[1]
                 .split()[0])
     assert rel < 0.2, rel
+
+
+def test_aot_serving(tmp_path, monkeypatch, capsys):
+    run_example("aot_serving.py", tmp_path, monkeypatch)
+    assert "OK" in capsys.readouterr().out
