@@ -26,7 +26,7 @@ from .tune import autotune
 
 # submodules (imported lazily by attribute in the reference; eager here so
 # `sph_raytracer_tpu.loss` etc. work after a bare package import)
-from . import loss, models, plotting, retrieval, utils  # noqa: E402,F401
+from . import loss, models, plotting, retrieval, solve, utils  # noqa: E402,F401
 
 __all__ = [
     "SphericalGrid",
@@ -42,6 +42,7 @@ __all__ = [
     "models",
     "plotting",
     "retrieval",
+    "solve",
     "utils",
 ]
 

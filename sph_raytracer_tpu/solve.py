@@ -1,0 +1,194 @@
+"""Matrix-free linear solvers for tomographic retrieval.
+
+The forward projection is *linear* in the density (reference
+raytracer.py:692-713 — a gather-multiply-reduce), so quadratic-fidelity
+retrievals are linear least-squares problems
+
+    min_x ||M (A x - y)||² + damp ||x||²
+
+that Krylov methods solve in far fewer operator applications than the
+reference's Adam loop (reference retrieval.py:24-127 has no solver — its
+only driver is first-order gradient descent).  :func:`cg` runs
+preconditioned CGNR — conjugate gradient on the damped normal equations
+``(AᵀMᵀMA + damp·I) x = AᵀMᵀM y`` — entirely inside compiled ``lax.scan``
+chunks, with the operator's device tables threaded as arguments (payload
+threading, like :func:`~sph_raytracer_tpu.retrieval.gd`).
+
+``A`` may be a bare :class:`~sph_raytracer_tpu.operator.Operator` /
+:class:`~sph_raytracer_tpu.parallel.ShardedOperator` (solve for the voxel
+volume) or the operator composed with a *linear* model such as
+:class:`~sph_raytracer_tpu.models.FullyDenseModel` or
+:class:`~sph_raytracer_tpu.models.SphHarmModel` (solve for model
+coefficients; coefficients may be any pytree).  The adjoint comes from
+``jax.vjp`` of the forward map, so anything differentiable-and-linear
+works — including the sharded operator, whose VJP already ``psum``s the
+volume gradient across the mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["cg"]
+
+
+def _tree_vdot(a, b):
+    leaves = jax.tree.map(lambda x, y: jnp.vdot(x, y), a, b)
+    return sum(jax.tree_util.tree_leaves(leaves),
+               start=jnp.zeros((), jnp.float32))
+
+
+def _tree_axpy(alpha, x, y):  # y + alpha * x
+    return jax.tree.map(lambda xi, yi: yi + alpha * xi, x, y)
+
+
+def _tree_where(c, a, b):
+    return jax.tree.map(lambda ai, bi: jnp.where(c, ai, bi), a, b)
+
+
+def cg(f, y, model=None, x0=None, num_iterations: int = 50,
+       damp: float = 0.0, precond=None, projection_mask=None,
+       tol: float = 0.0, chunk: Optional[int] = None,
+       progress_bar: bool = False):
+    """Solve ``min ||mask·(f(model(x)) - y)||² + damp·||x||²`` by CGNR.
+
+    Args:
+        f: forward operator (``Operator`` / ``ShardedOperator``) — linear
+            in its input, with optional ``payload``/``with_payload``.
+        y: measurement stack matching ``f``'s output shape.
+        model: optional *linear* coefficient model (``model(x)`` must be
+            linear in ``x``, e.g. ``FullyDenseModel``, ``SphHarmModel``).
+            ``None`` solves directly for the voxel volume.
+        x0: initial iterate (default zeros; pytrees allowed).
+        num_iterations: maximum CG iterations (one forward + one adjoint
+            application each).
+        damp: Tikhonov damping λ — solves the regularized normal
+            equations ``(AᵀA + λI) x = Aᵀ y``.
+        precond: optional positive-definite preconditioner callable
+            ``z = precond(r)`` in coefficient space (e.g. a Jacobi
+            diagonal scaling).
+        projection_mask: optional weight/mask array on the measurement
+            space (rows of A), matching ``y``'s shape — the ``M`` above.
+            The same convention as :class:`~sph_raytracer_tpu.loss.Loss`
+            ``projection_mask``.
+        tol: relative-residual stopping threshold: iteration freezes once
+            ``||Aᵀ(y - Ax) - damp·x|| <= tol · ||Aᵀy||`` (checked inside
+            the compiled chunk; 0 disables).
+        chunk: iterations per compiled ``lax.scan`` chunk (default 16 on
+            CPU, 50 on accelerators — device round-trips happen once per
+            chunk).
+        progress_bar: tqdm over chunks with the live relative residual.
+
+    Returns:
+        ``(x, f(model(x)), info)`` where ``info['rnorm']`` is the
+        normal-equations residual-norm history (one entry per iteration
+        run) and ``info['iterations']`` counts iterations before the
+        ``tol`` freeze (== iterations run when it never triggered).
+    """
+    if chunk is None:
+        chunk = 16 if jax.default_backend() == "cpu" else 50
+    ydtype = jnp.asarray(y).dtype
+    x0dtype = ydtype if jnp.issubdtype(ydtype, jnp.floating) else jnp.float32
+    if x0 is None:
+        if model is None:
+            if not hasattr(f, "grid"):
+                raise ValueError("f has no .grid; pass model= explicitly")
+            x0 = jnp.zeros(tuple(f.grid.shape), x0dtype)
+        else:
+            x0 = jnp.zeros(model.coeffs_shape, x0dtype)
+    x0 = jax.tree.map(jnp.asarray, x0)
+    y = jnp.asarray(y)
+    mask = None if projection_mask is None else jnp.asarray(
+        projection_mask)
+    payload = getattr(f, "payload", None)
+    damp = float(damp)
+
+    def Afun(v, pl):
+        fx = f.with_payload(pl) if pl is not None else f
+        proj = fx(v) if model is None else fx(model(v))
+        return proj if mask is None else proj * mask
+
+    M = precond if precond is not None else (lambda r: r)
+
+    @jax.jit
+    def init(x, pl, ym):
+        Ax, vjpf = jax.vjp(lambda v: Afun(v, pl), x)
+        # the vjp cotangent must carry the forward output's exact dtype
+        ym = jnp.asarray(ym, Ax.dtype)
+        ym = ym if mask is None else ym * jnp.asarray(mask, Ax.dtype)
+        # r = Aᵀ(y - Ax) - damp·x  (normal-equations residual); the map is
+        # linear, so the vjp at any point is the one true transpose and is
+        # reused for b = Aᵀy
+        r = _tree_axpy(-damp, x, vjpf(ym - Ax)[0])
+        b = vjpf(ym)[0]
+        bnorm = jnp.sqrt(_tree_vdot(b, b))
+        z = M(r)
+        rz = _tree_vdot(r, z)
+        return (x, r, z, z, rz, jnp.asarray(0, jnp.int32)), bnorm
+
+    def step(carry, _, pl, bnorm):
+        x, r, z, p, rz, niter = carry
+        rnorm = jnp.sqrt(_tree_vdot(r, r))
+        done = rnorm <= tol * bnorm if tol > 0 else jnp.asarray(False)
+        Ap, vjpf = jax.vjp(lambda v: Afun(v, pl), p)
+        q = _tree_axpy(damp, p, vjpf(Ap)[0])
+        pq = _tree_vdot(p, q)
+        alpha = jnp.where((pq > 0) & ~done, rz / jnp.where(pq > 0, pq, 1.0),
+                          0.0)
+        x = _tree_axpy(alpha, p, x)
+        r = _tree_axpy(-alpha, q, r)
+        z2 = M(r)
+        rz2 = _tree_vdot(r, z2)
+        beta = jnp.where((rz > 0) & ~done, rz2 / jnp.where(rz > 0, rz, 1.0),
+                         0.0)
+        p = _tree_where(done, p, _tree_axpy(beta, p, z2))
+        niter = niter + jnp.where(done, 0, 1).astype(jnp.int32)
+        return (x, r, z2, p, jnp.where(done, rz, rz2), niter), rnorm
+
+    @partial(jax.jit, static_argnums=3)
+    def run_chunk(carry, pl, bnorm, length):
+        return jax.lax.scan(
+            lambda c, s: step(c, s, pl, bnorm), carry, None, length=length)
+
+    carry, bnorm = init(x0, payload, y)
+
+    pbar = None
+    if progress_bar:
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=num_iterations)
+        except ImportError:
+            pass
+
+    rnorms = []
+    it = 0
+    try:
+        while it < num_iterations:
+            n = min(chunk, num_iterations - it)
+            carry, rn = run_chunk(carry, payload, bnorm, n)
+            rn = np.asarray(rn)
+            rnorms.extend(rn.tolist())
+            it += n
+            if pbar is not None:
+                pbar.set_description(
+                    f"|r|/|b|:{rn[-1] / max(float(bnorm), 1e-30):.2e}")
+                pbar.update(n)
+            if tol > 0 and rn[-1] <= tol * float(bnorm):
+                break
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if pbar is not None:
+            pbar.close()
+
+    x = carry[0]
+    info = {"rnorm": np.asarray(rnorms),
+            "iterations": int(carry[5]),
+            "bnorm": float(bnorm)}
+    vol = x if model is None else model(x)
+    return x, f(vol), info
