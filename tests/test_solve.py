@@ -10,7 +10,7 @@ import pytest
 
 from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
 from sph_raytracer_tpu.models import SphHarmModel
-from sph_raytracer_tpu.solve import cg
+from sph_raytracer_tpu.solve import cg, sart_preconditioner
 
 
 @pytest.fixture(scope="module")
@@ -83,6 +83,46 @@ def test_cg_sphharm_coeff_space(small):
     x, reproj, info = cg(op, ym, model=model, num_iterations=200,
                          damp=1e-9)
     # coeff-space system is tiny (K*Nr unknowns) and well determined here
+    assert np.allclose(np.asarray(reproj), np.asarray(ym), atol=1e-6)
+
+
+def test_cg_sart_preconditioner(small):
+    grid, op, truth, y = small
+    damp = 1e-3
+    A = dense_matrix(op, grid)
+    b = np.asarray(y, np.float64).ravel()
+    n = A.shape[1]
+    x_ref = np.linalg.solve(A.T @ A + damp * np.eye(n), A.T @ b)
+
+    pre = sart_preconditioner(op)
+    # the diagonal is a positive grid-shaped array matching Aᵀ(A·1)
+    d_ref = np.abs(A.T @ (A @ np.ones(n)))
+    d = np.asarray(pre).ravel()
+    touched = d_ref > 1e-6 * d_ref.max()
+    assert np.allclose(d[touched], d_ref[touched], rtol=1e-5)
+    assert (d > 0).all()
+
+    x, _, info = cg(op, y, x0=jnp.zeros(tuple(grid.shape), jnp.float64),
+                    num_iterations=300, damp=damp, precond=pre)
+    assert np.allclose(np.asarray(x).ravel(), x_ref, atol=1e-6)
+
+    # preconditioning must not slow convergence to a fixed tolerance
+    _, _, info_plain = cg(op, y, num_iterations=300, damp=damp,
+                          tol=1e-8, chunk=10)
+    _, _, info_pre = cg(op, y, num_iterations=300, damp=damp,
+                        tol=1e-8, chunk=10, precond=pre)
+    assert info_pre["iterations"] <= info_plain["iterations"] + 5
+
+
+def test_cg_sart_preconditioner_model_space(small):
+    grid, op, truth, y = small
+    model = SphHarmModel(grid, lmax=1, dtype=jnp.float64)
+    ct = jnp.asarray(
+        np.random.default_rng(1).normal(size=model.coeffs_shape))
+    ym = op(model(ct))
+    pre = sart_preconditioner(op, model=model)
+    x, reproj, info = cg(op, ym, model=model, num_iterations=200,
+                         damp=1e-9, precond=pre)
     assert np.allclose(np.asarray(reproj), np.asarray(ym), atol=1e-6)
 
 
