@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["cg", "sart_preconditioner"]
+__all__ = ["cg", "mlem", "sart_preconditioner"]
 
 
 def _tree_vdot(a, b):
@@ -95,6 +95,128 @@ def sart_preconditioner(f, model=None, projection_mask=None,
     # directions instead of amplifying them by 1/eps
     return jax.tree.map(
         lambda leaf: jnp.where(leaf < eps * dmax, dmax, leaf), d)
+
+
+def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
+         projection_mask=None, eps: float = 1e-12,
+         chunk: Optional[int] = None, progress_bar: bool = False):
+    """Maximum-likelihood EM (MLEM) for Poisson-distributed measurements.
+
+    The classic multiplicative tomography iteration (Shepp & Vardi 1982)
+
+        x ← x · Aᵀ(m·y / max(s·Ax, eps)) / Aᵀm
+
+    which monotonically increases the Poisson likelihood that
+    :class:`~sph_raytracer_tpu.loss.PoissonLoss` scores (``s·Ax`` is the
+    predicted count rate, ``s=scale`` the counts-per-line-integral
+    sensitivity) and preserves nonnegativity by construction — the
+    natural solver for photon-counting data, where :func:`cg`'s Gaussian
+    model mis-weights low-count pixels.  The reference ships no solver at
+    all (its only driver is Adam gradient descent,
+    reference retrieval.py:24-127); this and :func:`cg` are beyond-parity
+    capabilities.
+
+    Volume-space only (the multiplicative update needs a nonnegative
+    coefficient basis; use :func:`cg` or
+    :func:`~sph_raytracer_tpu.retrieval.gd` for general models).  Runs in
+    compiled ``lax.scan`` chunks with the operator's device tables
+    threaded as arguments, like :func:`cg`.
+
+    Args:
+        f: forward operator (``Operator`` / ``ShardedOperator``) with
+            nonnegative entries (segment lengths).
+        y: measured counts, matching ``f``'s output shape.
+        x0: initial volume, strictly positive (default ones; voxels the
+            rays never touch are forced to 0, the MLEM convention).
+        num_iterations: EM sweeps (one forward + one adjoint each).
+        scale: counts per unit line integral (instrument sensitivity ×
+            exposure), as in ``PoissonLoss(scale=...)``.
+        projection_mask: optional nonnegative weight/mask ``m`` on the
+            measurement space (0 drops a pixel/view).
+        eps: floor for the predicted rate (differentiability/0-division).
+        chunk: iterations per compiled ``lax.scan`` chunk (default 16 on
+            CPU, 50 on accelerators).
+        progress_bar: tqdm over chunks with the live mean NLL.
+
+    Returns:
+        ``(x, f(x), info)`` with ``info['nll']`` the per-iteration mean
+        Poisson NLL history (same quantity ``PoissonLoss`` computes).
+    """
+    if chunk is None:
+        chunk = 16 if jax.default_backend() == "cpu" else 50
+    y = jnp.asarray(y)
+    fdtype = y.dtype if jnp.issubdtype(y.dtype, jnp.floating) else (
+        getattr(f, "ftype", None) or jnp.float32)
+    if x0 is None:
+        if not hasattr(f, "grid"):
+            raise ValueError("f has no .grid; pass x0 explicitly")
+        x0 = jnp.ones(tuple(f.grid.shape), fdtype)
+    x0 = jnp.asarray(x0)
+    mask = (None if projection_mask is None
+            else jnp.asarray(projection_mask, fdtype))
+    payload = getattr(f, "payload", None)
+    scale = float(scale)
+
+    def Afun(v, pl):
+        fx = f.with_payload(pl) if pl is not None else f
+        return fx(v)
+
+    @jax.jit
+    def sens(x, pl):
+        # sensitivity image s = Aᵀm via the linear map's one true
+        # transpose (vjp); m defaults to ones
+        Ax, vjpf = jax.vjp(lambda v: Afun(v, pl), x)
+        m = jnp.ones_like(Ax) if mask is None else mask.astype(Ax.dtype)
+        return vjpf(m)[0]
+
+    def step(x, _, pl, ym, s):
+        Ax, vjpf = jax.vjp(lambda v: Afun(v, pl), x)
+        rate = jnp.maximum(scale * Ax, eps)
+        m = jnp.ones_like(rate) if mask is None else mask.astype(rate.dtype)
+        nll = jnp.mean(m * (rate - ym * jnp.log(rate)))
+        num = vjpf(m * ym / rate)[0]
+        x = jnp.where(s > 0, x * num / jnp.where(s > 0, s, 1.0), 0.0)
+        return x, nll
+
+    @partial(jax.jit, static_argnums=4)
+    def run_chunk(x, pl, ym, s, length):
+        return jax.lax.scan(
+            lambda c, t: step(c, t, pl, ym, s), x, None, length=length)
+
+    s = sens(x0, payload)
+    ym = jnp.asarray(y, fdtype)
+
+    pbar = None
+    if progress_bar:
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(total=num_iterations)
+        except ImportError:
+            pass
+
+    x = x0
+    nlls = []
+    it = 0
+    try:
+        while it < num_iterations:
+            n = min(chunk, num_iterations - it)
+            x, nl = run_chunk(x, payload, ym, s, n)
+            nl = np.asarray(nl)
+            nlls.extend(nl.tolist())
+            it += n
+            if pbar is not None:
+                pbar.set_description(f"NLL:{nl[-1]:.4e}")
+                pbar.update(n)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if pbar is not None:
+            pbar.close()
+
+    info = {"nll": np.asarray(nlls), "iterations": it,
+            "sensitivity": s}
+    return x, f(x), info
 
 
 def cg(f, y, model=None, x0=None, num_iterations: int = 50,

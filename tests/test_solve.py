@@ -10,7 +10,7 @@ import pytest
 
 from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
 from sph_raytracer_tpu.models import SphHarmModel
-from sph_raytracer_tpu.solve import cg, sart_preconditioner
+from sph_raytracer_tpu.solve import cg, mlem, sart_preconditioner
 
 
 @pytest.fixture(scope="module")
@@ -137,3 +137,44 @@ def test_cg_tol_freeze(small):
     x2, _, _ = cg(op, y, num_iterations=info["iterations"] + 60,
                   damp=1e-3, tol=1e-10, chunk=25)
     assert np.allclose(np.asarray(x), np.asarray(x2), atol=1e-7)
+
+
+def test_mlem_fits_noiseless_counts(small):
+    grid, op, truth, y = small
+    # strictly positive truth -> strictly positive counts
+    x, reproj, info = mlem(op, y, num_iterations=500)
+    # EM monotonically decreases the Poisson NLL (Shepp & Vardi 1982)
+    nll = info["nll"]
+    assert (np.diff(nll) <= 1e-10 * np.abs(nll[:-1]).max() + 1e-12).all()
+    # noiseless consistent data: the reprojection converges to y
+    rel = np.abs(np.asarray(reproj) - np.asarray(y)) / np.asarray(y).max()
+    assert rel.max() < 5e-3
+    # nonnegativity by construction
+    assert (np.asarray(x) >= 0).all()
+    # untouched voxels are forced to zero
+    s = np.asarray(info["sensitivity"])
+    assert (np.asarray(x)[s <= 0] == 0).all()
+
+
+def test_mlem_scale_invariance(small):
+    grid, op, truth, y = small
+    # scale converts line integrals to counts; solving the scaled problem
+    # recovers the same volume
+    x1, _, _ = mlem(op, y, num_iterations=100)
+    x2, _, _ = mlem(op, 7.5 * np.asarray(y), num_iterations=100, scale=7.5)
+    assert np.allclose(np.asarray(x1), np.asarray(x2), rtol=1e-5, atol=1e-8)
+
+
+def test_mlem_projection_mask(small):
+    grid, op, truth, y = small
+    mask = np.zeros(y.shape, np.float64)
+    mask[::2] = 1.0
+    x, reproj, info = mlem(op, y, num_iterations=400,
+                           projection_mask=mask)
+    # kept rows are fit; dropped rows are unconstrained
+    rel = (np.abs(np.asarray(reproj) - np.asarray(y)) * mask
+           ) / np.asarray(y).max()
+    assert rel.max() < 5e-3
+    # sensitivity only counts kept rows
+    s_ref = np.asarray(op.T(jnp.asarray(mask, jnp.float64)))
+    assert np.allclose(np.asarray(info["sensitivity"]), s_ref, rtol=1e-6)
