@@ -98,7 +98,7 @@ def sart_preconditioner(f, model=None, projection_mask=None,
 
 
 def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
-         projection_mask=None, eps: float = 1e-12,
+         projection_mask=None, subsets: int = 1, eps: float = 1e-12,
          chunk: Optional[int] = None, progress_bar: bool = False):
     """Maximum-likelihood EM (MLEM) for Poisson-distributed measurements.
 
@@ -133,6 +133,18 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
             exposure), as in ``PoissonLoss(scale=...)``.
         projection_mask: optional nonnegative weight/mask ``m`` on the
             measurement space (0 drops a pixel/view).
+        subsets: ordered-subsets acceleration (OS-EM, Hudson & Larkin
+            1994): one "iteration" sweeps ``subsets`` sequential updates,
+            each using every ``subsets``-th view (an interleaved
+            partition of the leading view axis, balanced angular
+            coverage) — roughly ``subsets``× faster convergence per
+            sweep at the same cost per sweep.  Requires ``f`` to be a
+            static (non-4D) ``Operator`` over a ``ViewGeomCollection``;
+            sub-operators are built once with ``f``'s config.  The
+            ``nll`` history is then the *stale* per-sweep NLL assembled
+            from each subset's pre-update rates (standard OS-EM
+            monitoring; exact monotonicity is only guaranteed at
+            ``subsets=1``).
         eps: floor for the predicted rate (differentiability/0-division).
         chunk: iterations per compiled ``lax.scan`` chunk (default 16 on
             CPU, 50 on accelerators).
@@ -154,37 +166,78 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
     x0 = jnp.asarray(x0)
     mask = (None if projection_mask is None
             else jnp.asarray(projection_mask, fdtype))
-    payload = getattr(f, "payload", None)
     scale = float(scale)
+    subsets = int(subsets)
 
-    def Afun(v, pl):
-        fx = f.with_payload(pl) if pl is not None else f
+    if subsets > 1:
+        from .viewgeom import ViewGeomCollection
+
+        geom = getattr(f, "geom", None)
+        if (not isinstance(geom, ViewGeomCollection)
+                or len(geom) < subsets):
+            raise ValueError(
+                "subsets>1 requires an Operator over a ViewGeomCollection"
+                f" with at least {subsets} views")
+        if getattr(f, "dynamic", False):
+            raise ValueError("subsets>1 does not support 4D operators "
+                             "(views are bound to time bins)")
+        # interleaved view partition k::K — balanced angular coverage
+        subops = [type(f)(f.grid,
+                          ViewGeomCollection(*geom.geoms[k::subsets]),
+                          config=f.config)
+                  for k in range(subsets)]
+    else:
+        subops = [f]
+
+    ym_full = jnp.asarray(y, fdtype)
+    yms = tuple(ym_full[k::subsets] for k in range(subsets))
+    masks = tuple(None if mask is None else mask[k::subsets]
+                  for k in range(subsets))
+    payloads = tuple(getattr(fk, "payload", None) for fk in subops)
+    npix_total = float(ym_full.size)
+
+    def Afun(k, v, pl):
+        fk = subops[k]
+        fx = fk.with_payload(pl) if pl is not None else fk
         return fx(v)
 
     @jax.jit
-    def sens(x, pl):
-        # sensitivity image s = Aᵀm via the linear map's one true
-        # transpose (vjp); m defaults to ones
-        Ax, vjpf = jax.vjp(lambda v: Afun(v, pl), x)
-        m = jnp.ones_like(Ax) if mask is None else mask.astype(Ax.dtype)
-        return vjpf(m)[0]
+    def sens_all(x, pls):
+        # per-subset sensitivity s_k = A_kᵀ m_k via the linear map's one
+        # true transpose (vjp); m defaults to ones
+        out = []
+        for k in range(subsets):
+            Ax, vjpf = jax.vjp(
+                lambda v, k=k, pl=pls[k]: Afun(k, v, pl), x)
+            m = (jnp.ones_like(Ax) if masks[k] is None
+                 else masks[k].astype(Ax.dtype))
+            out.append(vjpf(m)[0])
+        return tuple(out)
 
-    def step(x, _, pl, ym, s):
-        Ax, vjpf = jax.vjp(lambda v: Afun(v, pl), x)
-        rate = jnp.maximum(scale * Ax, eps)
-        m = jnp.ones_like(rate) if mask is None else mask.astype(rate.dtype)
-        nll = jnp.mean(m * (rate - ym * jnp.log(rate)))
-        num = vjpf(m * ym / rate)[0]
-        x = jnp.where(s > 0, x * num / jnp.where(s > 0, s, 1.0), 0.0)
-        return x, nll
+    def sweep(x, _, pls, yms_, ss):
+        # one full pass = `subsets` sequential multiplicative updates;
+        # voxels a subset doesn't see keep their value (OS-EM convention)
+        nll_sum = jnp.zeros((), x.dtype)
+        for k in range(subsets):
+            Ax, vjpf = jax.vjp(
+                lambda v, k=k, pl=pls[k]: Afun(k, v, pl), x)
+            rate = jnp.maximum(scale * Ax, eps)
+            m = (jnp.ones_like(rate) if masks[k] is None
+                 else masks[k].astype(rate.dtype))
+            nll_sum = nll_sum + jnp.sum(
+                m * (rate - yms_[k] * jnp.log(rate)))
+            num = vjpf(m * yms_[k] / rate)[0]
+            sk = ss[k]
+            x = jnp.where(sk > 0, x * num / jnp.where(sk > 0, sk, 1.0), x)
+        return x, nll_sum / npix_total
 
     @partial(jax.jit, static_argnums=4)
-    def run_chunk(x, pl, ym, s, length):
+    def run_chunk(x, pls, yms_, ss, length):
         return jax.lax.scan(
-            lambda c, t: step(c, t, pl, ym, s), x, None, length=length)
+            lambda c, t: sweep(c, t, pls, yms_, ss), x, None,
+            length=length)
 
-    s = sens(x0, payload)
-    ym = jnp.asarray(y, fdtype)
+    ss = sens_all(x0, payloads)
 
     pbar = None
     if progress_bar:
@@ -201,7 +254,7 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
     try:
         while it < num_iterations:
             n = min(chunk, num_iterations - it)
-            x, nl = run_chunk(x, payload, ym, s, n)
+            x, nl = run_chunk(x, payloads, yms, ss, n)
             nl = np.asarray(nl)
             nlls.extend(nl.tolist())
             it += n
@@ -214,8 +267,12 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
         if pbar is not None:
             pbar.close()
 
+    # voxels no (kept) ray touches carry no likelihood information:
+    # force them to 0, the MLEM convention
+    s_total = sum(ss[1:], start=ss[0])
+    x = jnp.where(s_total > 0, x, 0.0)
     info = {"nll": np.asarray(nlls), "iterations": it,
-            "sensitivity": s}
+            "sensitivity": s_total}
     return x, f(x), info
 
 

@@ -178,3 +178,39 @@ def test_mlem_projection_mask(small):
     # sensitivity only counts kept rows
     s_ref = np.asarray(op.T(jnp.asarray(mask, jnp.float64)))
     assert np.allclose(np.asarray(info["sensitivity"]), s_ref, rtol=1e-6)
+
+
+def test_osem_matches_mlem_solution():
+    # OS-EM with K subsets converges to the same ML fixed point in
+    # roughly K× fewer sweeps (Hudson & Larkin 1994).  Needs several
+    # views per subset — single-view subsets limit-cycle (the known
+    # too-many-subsets regime).
+    grid = SphericalGrid(shape=(4, 4, 4))
+    geom = sum(
+        ConeRectGeom((5, 5), pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
+                     fov=(50, 50))
+        for t in np.linspace(0, 2 * np.pi, 12, endpoint=False)
+    )
+    op = Operator(grid, geom, ftype=jnp.float64)
+    truth = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)))
+    y = op(truth)
+    ymax = np.asarray(y).max()
+    x1, reproj1, i1 = mlem(op, y, num_iterations=300)
+    x3, reproj3, i3 = mlem(op, y, num_iterations=100, subsets=3)
+    rel1 = np.abs(np.asarray(reproj1) - np.asarray(y)).max() / ymax
+    rel3 = np.abs(np.asarray(reproj3) - np.asarray(y)).max() / ymax
+    assert rel3 < 6e-3
+    # 100 3-subset sweeps fit at least as well as 300 plain sweeps
+    assert rel3 <= rel1 * 1.5
+    # total sensitivity equals the full operator's Aᵀ1
+    s_ref = np.asarray(op.T(jnp.ones(y.shape, jnp.float64)))
+    assert np.allclose(np.asarray(i3["sensitivity"]), s_ref, rtol=1e-6)
+    assert (np.asarray(x3) >= 0).all()
+
+
+def test_osem_requires_collection(small):
+    grid, op, truth, y = small
+    single = ConeRectGeom((5, 5), pos=(2.0, 0, 0.4), fov=(50, 50))
+    op1 = Operator(grid, single, ftype=jnp.float64)
+    with pytest.raises(ValueError):
+        mlem(op1, op1(truth), num_iterations=2, subsets=3)
