@@ -42,3 +42,14 @@ def test_sph_harm_retrieval(tmp_path, monkeypatch, capsys):
 def test_aot_serving(tmp_path, monkeypatch, capsys):
     run_example("aot_serving.py", tmp_path, monkeypatch)
     assert "OK" in capsys.readouterr().out
+
+
+def test_poisson_retrieval(tmp_path, monkeypatch, capsys):
+    run_example("poisson_retrieval.py", tmp_path, monkeypatch)
+    assert (tmp_path / "poisson_retrieval.png").exists()
+    out = capsys.readouterr().out
+    em = float(out.split("ML-EM relative volume error:")[1].split()[0])
+    cgr = float(out.split("CGNR relative volume error:")[1].split()[0])
+    # the physically matched solver wins on Poisson data
+    assert em < cgr
+    assert em < 0.2, em
