@@ -38,7 +38,9 @@ import numpy as np
 REF_CPU_RAYS_PER_S = 351129.0  # reference fwd+bwd, measured on this host
 
 
-def wait_for_device(max_wait_s: float = 1800.0):
+def wait_for_device(max_wait_s: float = None):
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("SPH_TPU_BENCH_PROBE_WAIT", 1800))
     """The relayed TPU occasionally wedges (all backend calls hang) and
     also dislikes a new client attaching immediately after the previous
     one exits.  Probe it from a THROWAWAY subprocess until it answers,
@@ -61,13 +63,34 @@ def wait_for_device(max_wait_s: float = 1800.0):
         except Exception:
             waited = time.time() - t0
             if waited > max_wait_s:
+                # attaching to a wedged relay hangs in native code forever;
+                # exiting non-zero is strictly better than stalling the
+                # caller (rerun when the relay recovers)
                 print(f"[bench] device probe still failing after "
-                      f"{waited:.0f}s — proceeding anyway", file=sys.stderr)
-                return
+                      f"{waited:.0f}s — giving up (relay wedged)",
+                      file=sys.stderr)
+                sys.exit(1)
             print(f"[bench] device probe failed ({waited:.0f}s elapsed); "
                   "retrying in 120s", file=sys.stderr)
             time.sleep(120)
     time.sleep(60)  # settle: relay wedges on immediate re-attach
+
+
+def watchdog(limit_s: float = 5400.0):
+    """Hard exit if the whole bench exceeds ``limit_s`` — the relay can
+    wedge *mid-run* (every backend call hangs in native code, so no
+    Python exception ever surfaces; a daemon thread is the only escape)."""
+    import threading
+
+    def bomb():
+        print(f"[bench] exceeded {limit_s:.0f}s — relay likely wedged "
+              "mid-run; aborting", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(3)
+
+    t = threading.Timer(limit_s, bomb)
+    t.daemon = True
+    t.start()
 
 
 def fetch_sync(x):
@@ -90,6 +113,7 @@ def slope_time(f, args, n1=2, n2=12):
 
 
 def main():
+    watchdog(float(os.environ.get("SPH_TPU_BENCH_TIMEOUT", 5400)))
     wait_for_device()
     import jax
     import jax.numpy as jnp
