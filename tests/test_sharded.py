@@ -281,3 +281,17 @@ def test_sharded_banded_dynamic_4d():
     g_ref = jax.grad(lambda d: jnp.mean((op32(d) - y) ** 2))(x)
     g_sh = jax.grad(lambda d: jnp.mean((sop(d) - y) ** 2))(x)
     assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4)
+
+
+def test_mlem_with_sharded_operator(setup):
+    """solve.mlem threads the sharded operator's payload through its
+    compiled sweep (vjp psums the volume update across the mesh) and
+    matches the single-device solver bit-near-identically."""
+    from sph_raytracer_tpu.solve import mlem
+
+    grid, geom, op, x = setup
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
+    y = op(x)
+    xs, _, _ = mlem(sop, y, num_iterations=10)
+    xp, _, _ = mlem(op, y, num_iterations=10)
+    assert np.allclose(np.asarray(xs), np.asarray(xp), atol=1e-12)
