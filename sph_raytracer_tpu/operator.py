@@ -61,6 +61,17 @@ class Operator:
         config: :class:`TraceConfig` (dtype policy, execution mode, block
             sizes).  Convenience kwargs ``mode=`` / ``ftype=`` override it.
         dynamic: force 4D semantics (default: ``grid.dynamic``).
+        view_times: optional per-view observation times (length =
+            ``geom.shape[0]``, in ``grid.t`` units; numeric or
+            datetime64).  Each view then sees the volume **linearly
+            interpolated in time** between its two bracketing time bins,
+            instead of the reference's one-view-per-bin nearest lookup
+            (raytracer.py:705-710) — and the view count is decoupled from
+            the bin count.  Implemented by doubling the crossing table
+            with lerp-weighted segment lengths, so it is transparent to
+            every execution engine (including the routed TPU kernels) and
+            exactly linear/differentiable.  ``mode='fused'`` falls back to
+            ``precomputed``.
 
     Usage::
 
@@ -72,7 +83,7 @@ class Operator:
     def __init__(self, grid: SphericalGrid, geom: ViewGeom, dynamic=None,
                  config: Optional[TraceConfig] = None,
                  mode: Optional[str] = None, ftype=None, itype=None,
-                 trace_method: Optional[str] = None,
+                 trace_method: Optional[str] = None, view_times=None,
                  _compute: bool = True):
         config = config or TraceConfig()
         if mode is not None:
@@ -94,7 +105,41 @@ class Operator:
         nr, ne, na = grid.vshape
         self._vsize = nr * ne * na
 
-        if self.dynamic:
+        self._time_off2 = self._time_w = None
+        if view_times is not None:
+            if not grid.dynamic:
+                raise ValueError("view_times requires a 4D (dynamic) grid")
+            T = grid.shape.t
+            vt = np.asarray(view_times)
+            if np.issubdtype(vt.dtype, np.datetime64):
+                # compare on the grid's datetime view (grid.t itself is
+                # float in `timeunit` units)
+                vt = vt.astype("datetime64[ns]").astype(np.int64)
+                t_axis = np.asarray(grid.nptime).astype(
+                    "datetime64[ns]").astype(np.int64)
+            else:
+                t_axis = np.asarray(grid.t)
+            if not self._rshape or self._rshape[0] != vt.shape[0]:
+                raise ValueError(
+                    f"view_times has {vt.shape[0]} entries but geom has "
+                    f"leading view axis {self._rshape[:1]}")
+            # fractional bin index along the (possibly non-uniform) time
+            # axis; times outside [t[0], t[-1]] clamp to the end bins
+            fi = np.interp(vt.astype(np.float64),
+                           t_axis.astype(np.float64),
+                           np.arange(T, dtype=np.float64))
+            k0 = np.clip(np.floor(fi).astype(np.int64), 0, T - 1)
+            k1 = np.minimum(k0 + 1, T - 1)
+            w = np.where(k1 == k0, 0.0, fi - k0)
+            per_view = self._nrays // vt.shape[0]
+            self.dynamic = True
+            self._view_offsets = np.repeat(
+                k0 * self._vsize, per_view).reshape(self._rshape)
+            self._time_off2 = np.repeat(
+                k1 * self._vsize, per_view).reshape(self._rshape)
+            self._time_w = np.repeat(w, per_view).reshape(self._rshape)
+            self._flat_size = T * self._vsize
+        elif self.dynamic:
             if not grid.dynamic:
                 raise ValueError("dynamic=True requires a 4D (dynamic) grid")
             T = grid.shape.t
@@ -145,6 +190,13 @@ class Operator:
                     "falling back to mode='precomputed' for "
                     f"ftype={jnp.dtype(config.ftype).name}")
             mode = "precomputed"
+        if mode == "fused" and self._time_w is not None:
+            import warnings
+
+            warnings.warn("fused mode does not support view_times "
+                          "(it re-traces without the doubled table); "
+                          "falling back to mode='precomputed'")
+            mode = "precomputed"
         self._mode = mode
 
         self.lin = self.lens = None
@@ -153,27 +205,50 @@ class Operator:
             # routed mode consumes the tables on the HOST (the router is
             # numpy); device copies would waste HBM + relay transfer time
             lin, lens, n, _ = self._traced_tables(device=(mode != "routed"))
-            lin, lens = lin[:n], lens[:n]
-            if self._view_offsets is not None:
-                off = self._view_offsets.reshape(-1, 1)
-                if isinstance(lin, np.ndarray):
-                    lin = (lin + off).astype(lin.dtype)
-                else:
-                    lin = lin + jnp.asarray(off, dtype=config.itype)
+            lin, lens = self._apply_offsets(lin[:n], lens[:n])
             self.lin, self.lens = lin, lens
             # keep the host mirror consistent (sliced + time offsets)
             if isinstance(lin, np.ndarray):
                 self._lin_host, self._lens_host = lin, lens
             elif getattr(self, "_lin_host", None) is not None:
-                self._lin_host = self._lin_host[:n]
-                self._lens_host = self._lens_host[:n]
-                if self._view_offsets is not None:
-                    self._lin_host = (
-                        self._lin_host
-                        + self._view_offsets.reshape(-1, 1)
-                    ).astype(self._lin_host.dtype)
+                self._lin_host, self._lens_host = self._apply_offsets(
+                    self._lin_host[:n], self._lens_host[:n])
             if mode == "routed":
                 self._build_routed()
+
+    # ------------------------------------------------------------------
+    def _apply_offsets(self, lin, lens, rows=None):
+        """Apply per-view time offsets to a traced ``(lin, lens)`` table.
+
+        Binned 4D: add ``t_index·V`` to the voxel ids.  Time-interpolated
+        4D (``view_times``): append a second copy of each crossing at the
+        ceil bin, splitting each segment length ``(1-w)·len / w·len`` —
+        the lerp becomes part of the linear operator itself, so every
+        downstream engine (XLA gather, routed Pallas) handles it
+        unchanged.  Works on numpy or jax arrays; ``rows`` restricts to a
+        contiguous ray range (the process-local sharded build)."""
+        if self._view_offsets is None:
+            return lin, lens
+        rows = slice(None) if rows is None else rows
+        off0 = self._view_offsets.reshape(-1, 1)[rows]
+        if self._time_w is None:
+            if isinstance(lin, np.ndarray):
+                return (lin + off0).astype(lin.dtype), lens
+            return lin + jnp.asarray(off0, dtype=self.config.itype), lens
+        off1 = self._time_off2.reshape(-1, 1)[rows]
+        w = self._time_w.reshape(-1, 1)[rows]
+        if isinstance(lin, np.ndarray):
+            lin2 = np.concatenate(
+                [lin + off0, lin + off1], axis=-1).astype(lin.dtype)
+            wl = w.astype(lens.dtype)
+            lens2 = np.concatenate([lens * (1 - wl), lens * wl], axis=-1)
+        else:
+            it = self.config.itype
+            lin2 = jnp.concatenate([lin + jnp.asarray(off0, it),
+                                    lin + jnp.asarray(off1, it)], axis=-1)
+            wl = jnp.asarray(w, lens.dtype)
+            lens2 = jnp.concatenate([lens * (1 - wl), lens * wl], axis=-1)
+        return lin2, lens2
 
     # ------------------------------------------------------------------
     def _pdevice(self, need_host: bool = False):
@@ -578,12 +653,7 @@ class Operator:
             return self.lin, self.lens
         # fused mode: build tables transiently for the adjoint
         lin, lens, n, _ = self._traced_tables()
-        lin, lens = lin[:n], lens[:n]
-        if self._view_offsets is not None:
-            lin = lin + jnp.asarray(
-                self._view_offsets.reshape(-1, 1), dtype=self.config.itype
-            )
-        return lin, lens
+        return self._apply_offsets(lin[:n], lens[:n])
 
     # ------------------------------------------------------------------
     def __repr__(self):

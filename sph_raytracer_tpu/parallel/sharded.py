@@ -163,6 +163,12 @@ class ShardedOperator(Operator):
                     "falling back to mode='precomputed' for "
                     f"ftype={jnp.dtype(self.config.ftype).name}")
             mode = "precomputed"
+        if mode == "fused" and self._time_w is not None:
+            import warnings
+
+            warnings.warn("fused mode does not support view_times; "
+                          "falling back to mode='precomputed'")
+            mode = "precomputed"
         self._mode = mode
         self._sharded_routed = None
         if mode == "routed":
@@ -183,17 +189,21 @@ class ShardedOperator(Operator):
         self._rays = self._rays.astype(cfg.ftype)
         npad = self._xs.shape[0]
 
-        if self._view_offsets is not None:
-            off = np.zeros((npad,), dtype=np.int32)
-            off[: self._nrays] = self._view_offsets.reshape(-1) \
-                if np.ndim(self._view_offsets) else self._view_offsets
-            self._off = jax.device_put(
-                off, NamedSharding(self.mesh, P(RAY_AXIS)))
+        def _pad_sharded(vals, dtype):
+            a = np.zeros((npad,), dtype=dtype)
+            if vals is not None:
+                a[: self._nrays] = (np.asarray(vals).reshape(-1)
+                                    if np.ndim(vals) else vals)
+            return jax.device_put(
+                a, NamedSharding(self.mesh, P(RAY_AXIS)))
+
+        self._off = _pad_sharded(self._view_offsets, np.int32)
+        if self._time_w is not None:
+            self._off2 = _pad_sharded(self._time_off2, np.int32)
+            self._wt = _pad_sharded(self._time_w,
+                                    np.dtype(self.config.ftype))
         else:
-            self._off = jax.device_put(
-                np.zeros((npad,), dtype=np.int32),
-                NamedSharding(self.mesh, P(RAY_AXIS)),
-            )
+            self._off2 = self._wt = None
 
         self.lin = self.lens = None
         if self._mode == "precomputed":
@@ -202,22 +212,38 @@ class ShardedOperator(Operator):
 
     def _build_sharded_tables(self):
         gs, cfg, mesh = self.gs, self.config, self.mesh
+        lerp = self._wt is not None
 
         @partial(jax.jit, static_argnames=("block",))
-        def build(xs, rays, off, block):
-            def local(xs_s, rays_s, off_s):
+        def build(xs, rays, off, off2, w, block):
+            def local(xs_s, rays_s, off_s, off2_s, w_s):
                 lin, lens, _, _ = _trace_tables(
                     gs, xs_s, rays_s, block, cfg.itype)
-                return lin + off_s[:, None].astype(cfg.itype), lens
+                lin0 = lin + off_s[:, None].astype(cfg.itype)
+                if not lerp:
+                    return lin0, lens
+                # time-interpolated 4D: doubled crossings with
+                # lerp-weighted lengths (see Operator._apply_offsets)
+                lin1 = lin + off2_s[:, None].astype(cfg.itype)
+                wl = w_s[:, None].astype(lens.dtype)
+                return (jnp.concatenate([lin0, lin1], axis=-1),
+                        jnp.concatenate([lens * (1 - wl), lens * wl],
+                                        axis=-1))
 
             return jax.shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(P(RAY_AXIS, None), P(RAY_AXIS, None), P(RAY_AXIS)),
+                in_specs=(P(RAY_AXIS, None), P(RAY_AXIS, None),
+                          P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
                 out_specs=(P(RAY_AXIS, None), P(RAY_AXIS, None)),
-            )(xs, rays, off)
+            )(xs, rays, off, off2, w)
 
-        return build(self._xs, self._rays, self._off, self._block)
+        # without lerp the extra operands are traced but unused — feed
+        # the (already ray-sharded) offset array as a placeholder
+        off2 = self._off2 if lerp else self._off
+        w = self._wt if lerp else self._off
+        return build(self._xs, self._rays, self._off, off2, w,
+                     self._block)
 
     def _build_sharded_routed(self):
         """Route the crossing tables and split them across the mesh by
@@ -246,9 +272,7 @@ class ShardedOperator(Operator):
         else:
             lin_h = self._lin_host[:n]
             lens_h = self._lens_host[:n]
-        if self._view_offsets is not None:
-            lin_h = (lin_h + self._view_offsets.reshape(-1, 1)).astype(
-                lin_h.dtype)
+        lin_h, lens_h = self._apply_offsets(lin_h, lens_h)
         D = int(self.mesh.devices.size)
         self._use_pallas = jax.default_backend() == "tpu"
         if cfg.routed_banded and (self._use_pallas or cfg.interpret):
@@ -315,8 +339,7 @@ class ShardedOperator(Operator):
         shape = np.broadcast_shapes(self._xs_np.shape, self._rays_np.shape)
         xs_f = np.broadcast_to(self._xs_np, shape).reshape(-1, 3)
         rays_f = np.broadcast_to(self._rays_np, shape).reshape(-1, 3)
-        offs = (None if self._view_offsets is None
-                else np.asarray(self._view_offsets).reshape(-1))
+        has_offs = self._view_offsets is not None
 
         dev = self._pdevice(need_host=True)
         ctx = (jax.default_device(dev) if dev is not None
@@ -326,8 +349,9 @@ class ShardedOperator(Operator):
         for d in local_ids:
             lo, hi = d * rays_per, min((d + 1) * rays_per, n)
             if lo >= n:
-                lin_d = np.zeros((0, M), np.dtype(cfg.itype))
-                lens_d = np.zeros((0, M), np.float32)
+                M2 = M * (2 if self._time_w is not None else 1)
+                lin_d = np.zeros((0, M2), np.dtype(cfg.itype))
+                lens_d = np.zeros((0, M2), np.float32)
             else:
                 cache = self._trace_cache_path(suffix=f"range{lo}-{hi}")
                 if cache is not None and os.path.exists(cache):
@@ -345,8 +369,9 @@ class ShardedOperator(Operator):
                     lens_d = np.asarray(lens)[:nn]
                     if cache is not None:
                         np.savez(cache, lin=lin_d, lens=lens_d)
-                if offs is not None:
-                    lin_d = (lin_d + offs[lo:hi, None]).astype(lin_d.dtype)
+                if has_offs:
+                    lin_d, lens_d = self._apply_offsets(
+                        lin_d, lens_d, rows=slice(lo, hi))
             ft, bt = banded_shard_local(
                 lin_d, lens_d, self._flat_size, tiles_per,
                 G=G, SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B)

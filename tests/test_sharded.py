@@ -295,3 +295,47 @@ def test_mlem_with_sharded_operator(setup):
     xs, _, _ = mlem(sop, y, num_iterations=10)
     xp, _, _ = mlem(op, y, num_iterations=10)
     assert np.allclose(np.asarray(xs), np.asarray(xp), atol=1e-12)
+
+
+def test_sharded_view_times(setup):
+    """Time-interpolated 4D through the sharded builds (shard_map table
+    build doubles the crossing axis with lerp weights) matches the plain
+    Operator bit-near-identically."""
+    from sph_raytracer_tpu.config import TraceConfig
+
+    T, V = 3, 5
+    tgrid = SphericalGrid(shape=(T, 6, 6, 6), size_t=(0.0, 10.0))
+    geom = sum(
+        ConeRectGeom((4, 4), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, np.pi, V, endpoint=False)
+    )
+    times = np.linspace(1.0, 9.0, V)
+    vol = jnp.asarray(
+        np.random.default_rng(0).random(tuple(tgrid.shape)), jnp.float64)
+    op = Operator(tgrid, geom, ftype=jnp.float64, view_times=times)
+    sop = ShardedOperator(tgrid, geom, mesh=make_mesh(),
+                          ftype=jnp.float64, view_times=times)
+    assert np.allclose(np.asarray(sop(vol)), np.asarray(op(vol)),
+                       atol=1e-12)
+    # gradient psum path
+    y = op(vol)
+    g = jax.grad(lambda v: jnp.sum((op(v) - y) ** 2))(vol)
+    gs = jax.grad(lambda v: jnp.sum((sop(v) - y) ** 2))(vol)
+    assert np.allclose(np.asarray(gs), np.asarray(g), atol=1e-10)
+
+    # banded routed engine (interpret mode) with lerp-doubled tables
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2)
+    sop_r = ShardedOperator(tgrid, geom, mesh=make_mesh(), config=cfg,
+                            view_times=times)
+    v32 = vol.astype(jnp.float32)
+    assert np.allclose(np.asarray(sop_r(v32)),
+                       np.asarray(op(v32).astype(jnp.float32)), atol=1e-4)
+
+    # process-local banded build applies the lerp per ray range
+    sop_l = ShardedOperator(tgrid, geom, mesh=make_mesh(),
+                            config=cfg.replace(sharded_local_build=True),
+                            view_times=times)
+    assert np.allclose(np.asarray(sop_l(v32)), np.asarray(sop_r(v32)),
+                       atol=1e-6)
