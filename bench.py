@@ -39,8 +39,6 @@ REF_CPU_RAYS_PER_S = 351129.0  # reference fwd+bwd, measured on this host
 
 
 def wait_for_device(max_wait_s: float = None):
-    if max_wait_s is None:
-        max_wait_s = float(os.environ.get("SPH_TPU_BENCH_PROBE_WAIT", 1800))
     """The relayed TPU occasionally wedges (all backend calls hang) and
     also dislikes a new client attaching immediately after the previous
     one exits.  Probe it from a THROWAWAY subprocess until it answers,
@@ -48,6 +46,9 @@ def wait_for_device(max_wait_s: float = None):
     new client attaching right after the previous one exits — which is
     exactly what probe-then-attach does, so the settle is unconditional)."""
     import subprocess
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("SPH_TPU_BENCH_PROBE_WAIT", 1800))
 
     if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
         return
@@ -113,8 +114,10 @@ def slope_time(f, args, n1=2, n2=12):
 
 
 def main():
-    watchdog(float(os.environ.get("SPH_TPU_BENCH_TIMEOUT", 5400)))
     wait_for_device()
+    # armed only after the device answers: probe time (up to 30 min of a
+    # recovering relay) must not eat the measurement budget
+    watchdog(float(os.environ.get("SPH_TPU_BENCH_TIMEOUT", 5400)))
     import jax
     import jax.numpy as jnp
 

@@ -110,7 +110,7 @@ class Operator:
             if not grid.dynamic:
                 raise ValueError("view_times requires a 4D (dynamic) grid")
             T = grid.shape.t
-            vt = np.asarray(view_times)
+            vt = np.atleast_1d(np.asarray(view_times))
             if np.issubdtype(vt.dtype, np.datetime64):
                 # compare on the grid's datetime view (grid.t itself is
                 # float in `timeunit` units)
@@ -135,9 +135,12 @@ class Operator:
             self.dynamic = True
             self._view_offsets = np.repeat(
                 k0 * self._vsize, per_view).reshape(self._rshape)
-            self._time_off2 = np.repeat(
-                k1 * self._vsize, per_view).reshape(self._rshape)
-            self._time_w = np.repeat(w, per_view).reshape(self._rshape)
+            if w.any():
+                self._time_off2 = np.repeat(
+                    k1 * self._vsize, per_view).reshape(self._rshape)
+                self._time_w = np.repeat(w, per_view).reshape(self._rshape)
+            # else: every time lands on a bin sample — pure binning, no
+            # table doubling needed
             self._flat_size = T * self._vsize
         elif self.dynamic:
             if not grid.dynamic:

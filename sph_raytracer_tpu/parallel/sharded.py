@@ -147,29 +147,9 @@ class ShardedOperator(Operator):
         self.mesh = mesh if mesh is not None else make_mesh()
         super().__init__(grid, geom, dynamic=dynamic, config=config,
                          _compute=False, **kw)
-        mode = self.config.mode
-        if mode == "auto":
-            mode = ("routed" if jax.default_backend() == "tpu"
-                    else "precomputed")
-        if (mode == "routed"
-                and jnp.dtype(self.config.ftype) != jnp.float32):
-            # same guard as Operator: the routed engine's tables are f32
-            # (TPU vector units have no f64); Mosaic rejects 64-bit types
-            if self.config.mode == "routed":
-                import warnings
-
-                warnings.warn(
-                    "routed mode requires float32 (its tables are f32); "
-                    "falling back to mode='precomputed' for "
-                    f"ftype={jnp.dtype(self.config.ftype).name}")
-            mode = "precomputed"
-        if mode == "fused" and self._time_w is not None:
-            import warnings
-
-            warnings.warn("fused mode does not support view_times; "
-                          "falling back to mode='precomputed'")
-            mode = "precomputed"
-        self._mode = mode
+        # mode (incl. the routed-f32 and fused/view_times fallbacks,
+        # with their warnings) was already resolved by Operator.__init__
+        mode = self._mode
         self._sharded_routed = None
         if mode == "routed":
             self._build_sharded_routed()

@@ -50,6 +50,13 @@ def _tree_where(c, a, b):
     return jax.tree.map(lambda ai, bi: jnp.where(c, ai, bi), a, b)
 
 
+def _op_ftype(f, default=jnp.float32):
+    """The operator's compute dtype (lives at ``f.config.ftype``)."""
+    cfg = getattr(f, "config", None)
+    ft = getattr(cfg, "ftype", None)
+    return default if ft is None else ft
+
+
 def sart_preconditioner(f, model=None, projection_mask=None,
                         eps: float = 1e-6):
     """Diagonal (Cimmino/SART-style) preconditioner ``r ↦ r / Aᵀ(A·1)``.
@@ -74,11 +81,9 @@ def sart_preconditioner(f, model=None, projection_mask=None,
     compare against ``precond=None`` there.
     """
     if model is None:
-        ones = jnp.ones(tuple(f.grid.shape), getattr(f, "ftype", None)
-                        or jnp.float32)
+        ones = jnp.ones(tuple(f.grid.shape), _op_ftype(f))
     else:
-        ones = jnp.ones(model.coeffs_shape, getattr(f, "ftype", None)
-                        or jnp.float32)
+        ones = jnp.ones(model.coeffs_shape, _op_ftype(f))
 
     def Afun(v):
         proj = f(v) if model is None else f(model(v))
@@ -157,8 +162,8 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
     if chunk is None:
         chunk = 16 if jax.default_backend() == "cpu" else 50
     y = jnp.asarray(y)
-    fdtype = y.dtype if jnp.issubdtype(y.dtype, jnp.floating) else (
-        getattr(f, "ftype", None) or jnp.float32)
+    fdtype = (y.dtype if jnp.issubdtype(y.dtype, jnp.floating)
+              else _op_ftype(f))
     if x0 is None:
         if not hasattr(f, "grid"):
             raise ValueError("f has no .grid; pass x0 explicitly")
@@ -181,10 +186,12 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
         if getattr(f, "dynamic", False):
             raise ValueError("subsets>1 does not support 4D operators "
                              "(views are bound to time bins)")
-        # interleaved view partition k::K — balanced angular coverage
+        # interleaved view partition k::K — balanced angular coverage;
+        # a ShardedOperator's mesh must carry over to its sub-operators
+        extra = {"mesh": f.mesh} if hasattr(f, "mesh") else {}
         subops = [type(f)(f.grid,
                           ViewGeomCollection(*geom.geoms[k::subsets]),
-                          config=f.config)
+                          config=f.config, **extra)
                   for k in range(subsets)]
     else:
         subops = [f]
@@ -201,20 +208,23 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
         fx = fk.with_payload(pl) if pl is not None else fk
         return fx(v)
 
+    # masks are measurement-sized: thread them through the jitted calls
+    # as ARGUMENTS like yms/payloads (closure constants bake into the
+    # HLO, which the remote-compile path rejects at scale)
     @jax.jit
-    def sens_all(x, pls):
+    def sens_all(x, pls, ms):
         # per-subset sensitivity s_k = A_kᵀ m_k via the linear map's one
         # true transpose (vjp); m defaults to ones
         out = []
         for k in range(subsets):
             Ax, vjpf = jax.vjp(
                 lambda v, k=k, pl=pls[k]: Afun(k, v, pl), x)
-            m = (jnp.ones_like(Ax) if masks[k] is None
-                 else masks[k].astype(Ax.dtype))
+            m = (jnp.ones_like(Ax) if ms[k] is None
+                 else ms[k].astype(Ax.dtype))
             out.append(vjpf(m)[0])
         return tuple(out)
 
-    def sweep(x, _, pls, yms_, ss):
+    def sweep(x, _, pls, yms_, ss, ms):
         # one full pass = `subsets` sequential multiplicative updates;
         # voxels a subset doesn't see keep their value (OS-EM convention)
         nll_sum = jnp.zeros((), x.dtype)
@@ -222,8 +232,8 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
             Ax, vjpf = jax.vjp(
                 lambda v, k=k, pl=pls[k]: Afun(k, v, pl), x)
             rate = jnp.maximum(scale * Ax, eps)
-            m = (jnp.ones_like(rate) if masks[k] is None
-                 else masks[k].astype(rate.dtype))
+            m = (jnp.ones_like(rate) if ms[k] is None
+                 else ms[k].astype(rate.dtype))
             nll_sum = nll_sum + jnp.sum(
                 m * (rate - yms_[k] * jnp.log(rate)))
             num = vjpf(m * yms_[k] / rate)[0]
@@ -231,13 +241,13 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
             x = jnp.where(sk > 0, x * num / jnp.where(sk > 0, sk, 1.0), x)
         return x, nll_sum / npix_total
 
-    @partial(jax.jit, static_argnums=4)
-    def run_chunk(x, pls, yms_, ss, length):
+    @partial(jax.jit, static_argnums=5)
+    def run_chunk(x, pls, yms_, ss, ms, length):
         return jax.lax.scan(
-            lambda c, t: sweep(c, t, pls, yms_, ss), x, None,
+            lambda c, t: sweep(c, t, pls, yms_, ss, ms), x, None,
             length=length)
 
-    ss = sens_all(x0, payloads)
+    ss = sens_all(x0, payloads, masks)
 
     pbar = None
     if progress_bar:
@@ -254,7 +264,7 @@ def mlem(f, y, x0=None, num_iterations: int = 50, scale: float = 1.0,
     try:
         while it < num_iterations:
             n = min(chunk, num_iterations - it)
-            x, nl = run_chunk(x, payloads, yms, ss, n)
+            x, nl = run_chunk(x, payloads, yms, ss, masks, n)
             nl = np.asarray(nl)
             nlls.extend(nl.tolist())
             it += n

@@ -132,12 +132,24 @@ def test_view_times_validation(setup):
 def test_fused_falls_back(setup):
     grid, vol = setup
     geom = _orbit(4)
+    frac = np.asarray(grid.t) + 0.3 * np.diff(grid.t, append=grid.t[-1])
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         op = Operator(grid, geom, ftype=jnp.float64, mode="fused",
-                      view_times=np.asarray(grid.t))
+                      view_times=frac)
     assert op._mode == "precomputed"
     assert any("view_times" in str(w.message) for w in rec)
+    # exact-bin times need no table doubling — fused mode stays fused
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        op2 = Operator(grid, geom, ftype=jnp.float64, mode="fused",
+                       view_times=np.asarray(grid.t))
+    assert op2._mode == "fused"
+    assert not any("view_times" in str(w.message) for w in rec2)
+    # and the binned fused forward matches the plain dynamic operator
+    op_bin = Operator(grid, geom, ftype=jnp.float64)
+    assert np.allclose(np.asarray(op2(vol)), np.asarray(op_bin(vol)),
+                       atol=1e-10)
 
 
 def test_routed_interpret_matches_precomputed(setup):
