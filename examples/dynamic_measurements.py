@@ -56,3 +56,21 @@ ax3.set_title("Measurements")
 ani3.event_source = ani2.event_source = ani1.event_source
 ani1.save("dynamic.gif", fps=15, extra_anim=[ani2, ani3])
 print("saved dynamic.gif")
+
+# ----- Beyond parity: views at arbitrary times -----
+# The reference binds exactly one view to each time bin (nearest-bin
+# lookup, raytracer.py:705-710).  `view_times=` decouples the two: here
+# 2x-oversampled vantages observe the same volume, each seeing it
+# linearly interpolated between its bracketing time bins.
+V = 2 * grid.shape.t
+geoms_ct = sum(
+    ConeCircGeom(shape=(100, 50),
+                 pos=(5 * np.cos(th), 5 * np.sin(th), 1),
+                 fov=(0, 45))
+    for th in np.linspace(0, 2 * np.pi, V)
+)
+times = np.linspace(float(grid.t[0]), float(grid.t[-1]), V)
+op_ct = Operator(grid, geoms_ct, view_times=times)
+meas_ct = op_ct(x)
+print(f"continuous-time measurements: {meas_ct.shape} "
+      f"({V} views over {grid.shape.t} time bins)")
