@@ -355,6 +355,7 @@ class Operator:
                           _round_block(self._nrays)),
                 itype=config.itype,
                 method=method,
+                platform=platform,
             )
             if dev is not None or cache or not device:
                 # stash host copies (the routed router consumes numpy; a
@@ -367,12 +368,20 @@ class Operator:
                 else:
                     lin, lens = self._lin_host, self._lens_host
             if cache:
-                np.savez(cache, lin=self._lin_host, lens=self._lens_host,
+                # write-to-tmp + atomic rename: multi-host builds share
+                # the cache dir, and a reader must never see a partial
+                # .npz (same idiom as route.save_banded_pair); the name
+                # must end in .npz or np.savez appends it
+                tmp = cache + f".{os.getpid()}.tmp.npz"
+                np.savez(tmp, lin=self._lin_host, lens=self._lens_host,
                          n=n, rs=np.asarray(rs))
+                os.replace(tmp, cache)
         if os.environ.get("SPH_TPU_TIMING"):
             import sys
 
-            jax.block_until_ready(lens)
+            from .utils.profiling import fetch_sync
+
+            fetch_sync(lens)  # block_until_ready lies through the relay
             print(f"[timing] trace {time.time() - t0:.1f}s "
                   f"(pdevice={dev})", file=sys.stderr)
         return lin, lens, n, rs
@@ -424,7 +433,9 @@ class Operator:
         if timing:
             import sys
 
-            jax.block_until_ready(dt.w)
+            from .utils.profiling import fetch_sync
+
+            fetch_sync(dt.w)  # block_until_ready lies through the relay
             print(f"[timing] upload {time.time() - t0:.1f}s", file=sys.stderr)
         self._rt, self._dt, self._rmeta = rt, dt, meta
 
@@ -468,9 +479,25 @@ class Operator:
 
         cfg = self.config
         B = cfg.routed_bands
+        # the banded tables are built from the OFFSET-APPLIED (and, with
+        # view_times, lerp-doubled) lin/lens — the time-binning state must
+        # be part of the key or a same-geometry operator with different
+        # times / dynamic-ness would hit a stale entry
+        if self._view_offsets is None:
+            tkey = "static"
+        else:
+            import hashlib
+
+            th = hashlib.sha256(
+                np.ascontiguousarray(self._view_offsets).tobytes())
+            if self._time_w is not None:
+                th.update(np.ascontiguousarray(self._time_off2).tobytes())
+                th.update(np.ascontiguousarray(self._time_w).tobytes())
+            tkey = f"{self._flat_size}-{th.hexdigest()[:16]}"
         cache = self._trace_cache_path(
             suffix=f"banded/{cfg.routed_g}/{cfg.routed_band_rows}/"
-                   f"{cfg.routed_kd}/{B}/{cfg.routed_chunk_multiple}")
+                   f"{cfg.routed_kd}/{B}/{cfg.routed_chunk_multiple}/"
+                   f"{tkey}")
         import os
 
         if cache is not None and os.path.exists(cache):
@@ -507,7 +534,9 @@ class Operator:
         if timing:
             import sys
 
-            jax.block_until_ready(ft.w)
+            from .utils.profiling import fetch_sync
+
+            fetch_sync(ft.w)  # block_until_ready lies through the relay
             print(f"[timing] upload {time.time() - t0:.1f}s", file=sys.stderr)
         self._rt, self._dt, self._rmeta = btF, (ft, btd), meta
         self._rmeta_bwd = metab
@@ -615,11 +644,12 @@ class Operator:
         return out.reshape(*chan, *self._rshape)
 
     def _fused(self, flat):
-        off = (
-            jnp.asarray(self._view_offsets, dtype=self.config.itype)
-            if self._view_offsets is not None
-            else None
-        )
+        off = getattr(self, "_off_dev", None)
+        if off is None and self._view_offsets is not None:
+            # device copy built once (a fresh host->device transfer per
+            # call would ride the relay every optimization step)
+            off = self._off_dev = jnp.asarray(
+                self._view_offsets, dtype=self.config.itype)
         block = min(self.config.block_rays, _round_block(self._nrays))
         return _fused_jit(
             self.gs, flat, self._xs, self._rays, off,
@@ -654,9 +684,15 @@ class Operator:
     def _tables(self):
         if self.lin is not None:
             return self.lin, self.lens
-        # fused mode: build tables transiently for the adjoint
-        lin, lens, n, _ = self._traced_tables()
-        return self._apply_offsets(lin[:n], lens[:n])
+        # fused mode: build tables for the adjoint once and memoize —
+        # re-tracing per T() call costs the full trace (seconds to
+        # minutes through a relay) every time.  Callers who need fused
+        # mode's O(block) memory should differentiate the forward
+        # (jax.vjp) instead of calling T().
+        if getattr(self, "_tables_memo", None) is None:
+            lin, lens, n, _ = self._traced_tables()
+            self._tables_memo = self._apply_offsets(lin[:n], lens[:n])
+        return self._tables_memo
 
     # ------------------------------------------------------------------
     def __repr__(self):

@@ -56,9 +56,11 @@ def _pad_rays(xs, rays, block: int):
     return xs, rays, n, shape[:-1]
 
 
-@partial(jax.jit, static_argnames=("gs", "block", "itype_name", "method"))
+@partial(jax.jit, static_argnames=("gs", "block", "itype_name", "method",
+                                   "platform"))
 def _precompute_blocks(gs: GridSpec, xs, rays, block: int,
-                       itype_name: str = "int32", method: str = "sorted"):
+                       itype_name: str = "int32", method: str = "sorted",
+                       platform: str = ""):
     itype = jnp.dtype(itype_name)
 
     def blk(args):
@@ -66,10 +68,11 @@ def _precompute_blocks(gs: GridSpec, xs, rays, block: int,
         if method == "ranked":
             from .trace import trace_crossings_ranked
 
-            regs, lens, _ = trace_crossings_ranked(gs, xs_b, rays_b,
-                                                   itype=itype)
+            regs, lens, _ = trace_crossings_ranked(
+                gs, xs_b, rays_b, itype=itype, platform=platform or None)
         else:
-            regs, lens, _ = trace_crossings(gs, xs_b, rays_b, itype=itype)
+            regs, lens, _ = trace_crossings(
+                gs, xs_b, rays_b, itype=itype, platform=platform or None)
         return pack_linear(regs, gs, itype=itype), lens
 
     xs_p = xs.reshape(-1, block, 3)
@@ -81,6 +84,7 @@ def _precompute_blocks(gs: GridSpec, xs, rays, block: int,
 
 def precompute_table(gs: GridSpec, xs, rays, block: int = 8192,
                      itype=jnp.int32, method: str = "sorted",
+                     platform: str = "",
                      ) -> Tuple[jax.Array, jax.Array, int, tuple]:
     """Trace all rays once, returning packed (lin, lens) tables.
 
@@ -99,7 +103,8 @@ def precompute_table(gs: GridSpec, xs, rays, block: int = 8192,
         block = min(block, 512)
     xs, rays, n, rshape = _pad_rays(jnp.asarray(xs), jnp.asarray(rays), block)
     lin, lens = _precompute_blocks(gs, xs, rays, block,
-                                   jnp.dtype(itype).name, method)
+                                   jnp.dtype(itype).name, method,
+                                   platform)
     return lin, lens, n, rshape
 
 

@@ -125,7 +125,8 @@ def forward_fill(x, initial, fill_what: int = INVALID, axis: int = -1):
     return jnp.where(filled == fill_what, jnp.expand_dims(initial, axis), filled)
 
 
-def _bin_segments(gs: GridSpec, xs, rays_n, ts, lens_raw, itype):
+def _bin_segments(gs: GridSpec, xs, rays_n, ts, lens_raw, itype,
+                  platform=None):
     """Label segments by the voxel containing their midpoint.
 
     Classifying ``xs + (t + len/2)·ray`` directly (instead of forward-
@@ -152,7 +153,11 @@ def _bin_segments(gs: GridSpec, xs, rays_n, ts, lens_raw, itype):
     vals = (jnp.sqrt(px**2 + py**2 + pz**2), jnp.arctan2(xy, pz),
             jnp.arctan2(py, px))
 
-    method = "compare_all" if jax.default_backend() == "tpu" else "scan"
+    # O(B) compare_all wins on TPU vector units; O(log B) scan wins on
+    # CPU.  `platform` is the device the trace actually runs on (the
+    # caller may trace on the host CPU beside a TPU default backend).
+    platform = platform or jax.default_backend()
+    method = "compare_all" if platform == "tpu" else "scan"
     out = []
     statics = (gs.r_b, gs.e_b, gs.a_b)  # hashable host-side tuples
     for axis, (b_host, bounds, v) in enumerate(zip(statics, gs.arrays(),
@@ -180,7 +185,32 @@ def _bin_segments(gs: GridSpec, xs, rays_n, ts, lens_raw, itype):
     return jnp.stack([reg_r, reg_e, reg_a], axis=0), valid
 
 
-def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None):
+def _trace_prep(gs: GridSpec, xs, rays, itype, ftype):
+    """Shared prep for both trace pipelines: broadcast, normalize, run
+    the three crossing kernels, and prepend the t=0 ray-start
+    pseudo-crossing that splits any segment straddling the start
+    (reference raytracer.py:77-122)."""
+    xs = jnp.asarray(xs, dtype=ftype)
+    rays = jnp.asarray(rays, dtype=ftype)
+    shape = jnp.broadcast_shapes(xs.shape, rays.shape)
+    xs = jnp.broadcast_to(xs, shape)
+    rays = jnp.broadcast_to(rays, shape)
+    rays_n = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+    r_b, e_b, a_b = gs.arrays()
+    r_t, _, _, _ = sphere_crossings(r_b, xs, rays, itype=itype, ftype=ftype)
+    e_t, _, _, _ = cone_crossings(e_b, xs, rays, itype=itype, ftype=ftype)
+    a_t, _, _, _ = plane_crossings(
+        a_b, xs, rays, full_azimuth=gs.full_azimuth, itype=itype,
+        ftype=ftype)
+    ts = jnp.concatenate(
+        [jnp.zeros((*shape[:-1], 1), dtype=ftype), r_t, e_t, a_t], axis=-1
+    )
+    return xs, rays_n, ts
+
+
+def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None,
+                    platform=None):
     """Full crossing trace for a batch of rays.
 
     Boundary crossing distances come from the intersection kernels
@@ -202,39 +232,22 @@ def trace_crossings(gs: GridSpec, xs, rays, itype=jnp.int32, ftype=None):
         ts: (*rays, M) sorted crossing distances (debugging / adjoint reuse).
     """
     ftype = ftype or gs.ftype
-    xs = jnp.asarray(xs, dtype=ftype)
-    rays = jnp.asarray(rays, dtype=ftype)
-    shape = jnp.broadcast_shapes(xs.shape, rays.shape)
-    xs = jnp.broadcast_to(xs, shape)
-    rays = jnp.broadcast_to(rays, shape)
-    rays_n = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
-
-    r_b, e_b, a_b = gs.arrays()
-    r_t, _, _, _ = sphere_crossings(r_b, xs, rays, itype=itype, ftype=ftype)
-    e_t, _, _, _ = cone_crossings(e_b, xs, rays, itype=itype, ftype=ftype)
-    a_t, _, _, _ = plane_crossings(
-        a_b, xs, rays, full_azimuth=gs.full_azimuth, itype=itype, ftype=ftype
-    )
-
-    # the ray-start pseudo-crossing at t=0 splits any segment straddling
-    # the start, so "behind the start" is exactly `ts < 0` per segment
-    # (reference raytracer.py:109-126)
-    ts = jnp.concatenate(
-        [jnp.zeros((*shape[:-1], 1), dtype=ftype), r_t, e_t, a_t], axis=-1
-    )
+    xs, rays_n, ts = _trace_prep(gs, xs, rays, itype, ftype)
     ts_s = jax.lax.sort(ts, dimension=-1)
 
     # segment lengths; the final segment extends to infinity
     lens_raw = jnp.diff(
-        ts_s, axis=-1, append=jnp.full((*shape[:-1], 1), jnp.inf, ftype)
+        ts_s, axis=-1,
+        append=jnp.full((*ts_s.shape[:-1], 1), jnp.inf, ftype)
     )
-    regs, valid = _bin_segments(gs, xs, rays_n, ts_s, lens_raw, itype)
+    regs, valid = _bin_segments(gs, xs, rays_n, ts_s, lens_raw, itype,
+                                platform=platform)
     lens = jnp.where(valid, lens_raw, 0.0)
     return regs, lens, ts_s
 
 
 def trace_crossings_ranked(gs: GridSpec, xs, rays, itype=jnp.int32,
-                           ftype=None):
+                           ftype=None, platform=None):
     """Sort-free crossing trace: same (regs, lens) pairs as
     :func:`trace_crossings`, in UNSORTED (concatenation) order.
 
@@ -257,24 +270,7 @@ def trace_crossings_ranked(gs: GridSpec, xs, rays, itype=jnp.int32,
         ts:   (*rays, M) crossing distances (unsorted).
     """
     ftype = ftype or gs.ftype
-    xs = jnp.asarray(xs, dtype=ftype)
-    rays = jnp.asarray(rays, dtype=ftype)
-    shape = jnp.broadcast_shapes(xs.shape, rays.shape)
-    xs = jnp.broadcast_to(xs, shape)
-    rays = jnp.broadcast_to(rays, shape)
-    rays_n = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
-    lead = shape[:-1]
-
-    r_b, e_b, a_b = gs.arrays()
-    r_t, _, _, _ = sphere_crossings(r_b, xs, rays, itype=itype, ftype=ftype)
-    e_t, _, _, _ = cone_crossings(e_b, xs, rays, itype=itype, ftype=ftype)
-    a_t, _, _, _ = plane_crossings(
-        a_b, xs, rays, full_azimuth=gs.full_azimuth, itype=itype,
-        ftype=ftype)
-
-    zero_t = jnp.zeros((*lead, 1), dtype=ftype)
-    # ray-start pseudo-crossing splits any segment straddling t=0
-    ts = jnp.concatenate([zero_t, r_t, e_t, a_t], axis=-1)
+    xs, rays_n, ts = _trace_prep(gs, xs, rays, itype, ftype)
     M = ts.shape[-1]
 
     idx = jnp.arange(M, dtype=itype)
@@ -286,7 +282,8 @@ def trace_crossings_ranked(gs: GridSpec, xs, rays, itype=jnp.int32,
     nxt = jnp.min(jnp.where(~le, tj, jnp.inf), axis=-1)
     lens_raw = nxt - ts
 
-    regs, valid = _bin_segments(gs, xs, rays_n, ts, lens_raw, itype)
+    regs, valid = _bin_segments(gs, xs, rays_n, ts, lens_raw, itype,
+                                platform=platform)
     lens = jnp.where(valid, lens_raw, 0.0)
     return regs, lens, ts
 

@@ -348,7 +348,10 @@ class ShardedOperator(Operator):
                     lin_d = np.asarray(lin)[:nn]
                     lens_d = np.asarray(lens)[:nn]
                     if cache is not None:
-                        np.savez(cache, lin=lin_d, lens=lens_d)
+                        # atomic write: hosts share the cache dir
+                        tmp = cache + f".{os.getpid()}.tmp.npz"
+                        np.savez(tmp, lin=lin_d, lens=lens_d)
+                        os.replace(tmp, cache)
                 if has_offs:
                     lin_d, lens_d = self._apply_offsets(
                         lin_d, lens_d, rows=slice(lo, hi))

@@ -169,3 +169,39 @@ def test_routed_interpret_matches_precomputed(setup):
     y = jnp.asarray(np.random.default_rng(2).random((V, 4, 4)), jnp.float32)
     assert np.allclose(np.asarray(op_r.T(y)), np.asarray(op_p.T(y)),
                        atol=1e-4)
+
+
+def test_banded_cache_keyed_by_view_times(tmp_path, monkeypatch, setup):
+    """Same geometry + grid, different view_times must not share a banded
+    routed-table cache entry (regression: the key once hashed only
+    spatial state, silently serving the first operator's lerp tables)."""
+    monkeypatch.setenv("SPH_TPU_TRACE_CACHE", str(tmp_path))
+    grid, vol = setup
+    V = 6
+    geom = _orbit(V)
+    t0, t1 = float(grid.t[0]), float(grid.t[-1])
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2)
+    times_a = np.linspace(t0 + 1.0, t1 - 1.0, V)
+    times_b = np.linspace(t0 + 4.0, t1 - 4.0, V)
+    v32 = vol.astype(jnp.float32)
+    op_a = Operator(grid, geom, config=cfg, view_times=times_a)
+    ya = np.asarray(op_a(v32))
+    op_b = Operator(grid, geom, config=cfg, view_times=times_b)  # warm cache dir
+    yb = np.asarray(op_b(v32))
+    # each must match its own precomputed oracle (no cross-hit)
+    pa = np.asarray(Operator(grid, geom, mode="precomputed",
+                             view_times=times_a)(v32))
+    pb = np.asarray(Operator(grid, geom, mode="precomputed",
+                             view_times=times_b)(v32))
+    assert np.allclose(ya, pa, atol=1e-4)
+    assert np.allclose(yb, pb, atol=1e-4)
+    assert not np.allclose(ya, yb, atol=1e-4)  # genuinely different ops
+    # static operator on the spatial grid shares geometry but not tables
+    sgrid = SphericalGrid(shape=tuple(grid.shape)[1:])
+    op_s = Operator(sgrid, geom, config=cfg)
+    ys = np.asarray(op_s(jnp.asarray(
+        np.asarray(vol)[0], jnp.float32)))
+    ps = np.asarray(Operator(sgrid, geom, mode="precomputed")(
+        jnp.asarray(np.asarray(vol)[0], jnp.float32)))
+    assert np.allclose(ys, ps, atol=1e-4)
