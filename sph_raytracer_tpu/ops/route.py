@@ -209,6 +209,8 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
             (row, lane)).
     """
     assert G % LANES == 0 and SR % SUBLANES == 0
+    # int8 per-slot hi bucket: G/128 must fit int8
+    assert G <= 16384, f"G={G} overflows the int8 hi bucket (max 16384)"
     lin = np.asarray(lin)
     lens = np.asarray(lens, np.float32)
     R, M = lin.shape
@@ -216,6 +218,17 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     T = (R + G - 1) // G
     H = _round_up(max(1, math.ceil(volume_size / LANES)), SR)
     NSG = H // SR
+    # 16-bit scalar-prefetch packing (sg<<16 | tile in routed_project's
+    # BlockSpec index maps): window id and tile count must each fit
+    if NSG > 2**15:
+        raise ValueError(
+            f"volume has {NSG} density windows (> 2^15): the 16-bit "
+            f"window field of the packed BlockSpec indices would "
+            f"overflow — raise SR or shard the volume")
+    if T > 2**16:
+        raise ValueError(
+            f"{T} ray tiles (> 2^16) overflow the 16-bit tile field of "
+            f"the packed BlockSpec indices — raise G or shard the rays")
 
     # ---- fully-native fast path ------------------------------------------
     # compaction + key derivation + slot assignment + table fill all in
@@ -287,7 +300,9 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
         order = np.lexsort((lv, p, spill, rowkey))
         rk_s = rowkey[order]
         sp_s = spill[order]
-        grp = rk_s * (int(sp_s.max()) + 1) + sp_s
+        # pack in int64: rk_s is int32 and NEP-50 keeps int32*python_int
+        # in int32, wrapping silently at scale
+        grp = rk_s.astype(np.int64) * (int(sp_s.max()) + 1) + sp_s
         occ = _cumcount(grp)
         repdiv = occ // LANES
         rep_s = sp_s.astype(np.int64) * (int(repdiv.max()) + 1) + repdiv
@@ -299,8 +314,8 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
                           | (p_s[1:] != p_s[:-1])]
         run_id = np.cumsum(runchange) - 1
         ends = np.flatnonzero(np.r_[runchange[1:], True])
-        key = (rk_s[ends] * (int(rep_s.max()) + 1) + rep_s[ends]) * LANES \
-            + lp_s[ends]
+        key = ((rk_s[ends].astype(np.int64) * (int(rep_s.max()) + 1)
+                + rep_s[ends]) * LANES + lp_s[ends])
         korder = np.lexsort((key,))
         kk = np.empty(len(ends), np.int64)
         kk[korder] = _cumcount(key[korder])
@@ -311,7 +326,7 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
         # send rank r to spill generation r//KD; each generation then holds
         # ≤ KD runs per (row, lane) outright (re-columning within a
         # generation can only split runs across reps, never merge them)
-        key2 = rk_s[ends] * LANES + lp_s[ends]
+        key2 = rk_s[ends].astype(np.int64) * LANES + lp_s[ends]
         k2order = np.lexsort((key2,))
         kk2 = np.empty(len(ends), np.int64)
         kk2[k2order] = _cumcount(key2[k2order])
@@ -334,7 +349,7 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
 
     # ---- chunk enumeration ----------------------------------------------
     tsg = f["tile"] * NSG + f["sg"]
-    chunkkey = tsg * (int(rep.max()) + 1) + rep
+    chunkkey = tsg.astype(np.int64) * (int(rep.max()) + 1) + rep
     uniq, chunk_of = np.unique(chunkkey, return_inverse=True)
     NC = len(uniq)
     firstpos = np.full(NC, n_live, np.int64)
@@ -357,11 +372,9 @@ def build_routed_tables(lin, lens, volume_size: int, G: int = 2048,
     lp8[rows, col] = f["lp"].astype(np.int8)
 
     # ---- reduce tables ---------------------------------------------------
-    runchange = np.r_[True, (f["rowkey"][1:] != f["rowkey"][:-1])
-                      | (rep[1:] != rep[:-1]) | (f["p"][1:] != f["p"][:-1])]
-    run_id = np.cumsum(runchange) - 1
-    run_end = np.r_[runchange[1:], True]
-    ends = np.flatnonzero(run_end)
+    # runchange/run_id/ends from the loop's final iteration are already in
+    # this `order` (the loop breaks right after computing them) — reuse
+    # them instead of three more full passes over the live crossings
     src = np.zeros((KD, NR, LANES), np.int8)
     hik = np.full((KD, NR, LANES), -1, np.int8)
     ke = k_of_run[run_id[ends]]

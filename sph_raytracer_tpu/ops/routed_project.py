@@ -727,7 +727,7 @@ def _bwd_banded_pallas(dy, btd: BandedDeviceBwd, meta: RoutedMeta, B: int,
 
         if stage == "gfetch":  # profiling-only: skip the tail
             out_ref[:] += (g_scr[:] * wp_ref[:]).reshape(
-                B, 8, LANES).sum(axis=0)
+                B, SRb, LANES).sum(axis=0)
             return
         t_scr[:] = g_scr[:] * wp_ref[:]
         rp = rposb_ref[:].astype(jnp.int32)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.route import LANES, RoutedTables, pad_chunks
+from ..ops.route import LANES, RoutedTables, _covered, pad_chunks
 from ..ops.routed_project import (
     DeviceTables,
     RoutedMeta,
@@ -67,7 +67,12 @@ def shard_routed_tables(rt: RoutedTables, n_devices: int):
             tiles_covered=_pad_to(
                 rt.tiles_covered[d * tiles_per:(d + 1) * tiles_per],
                 tiles_per),
-            wins_covered=rt.wins_covered,
+            # PER-SHARD window coverage: the Pallas backward only
+            # initializes output blocks its own chunks visit — a global
+            # mask would pass uninitialized VMEM for windows other
+            # shards cover, and the psum would spread the garbage
+            wins_covered=_covered(rt.sg[lo:hi],
+                                  rt.wins_covered.shape[0]),
             fwd_first=_first_of(rt.tile[lo:hi]),
             bwd_order=np.zeros(max(hi - lo, 1), np.int32),
             bwd_first=np.zeros(max(hi - lo, 1), np.int32),
@@ -164,6 +169,7 @@ def sharded_routed_backproject(mesh, tables: dict, meta: RoutedMeta, dy,
         in_specs=(P(axis),) + tuple(
             P(axis, *([None] * (tables[k].ndim - 1))) for k in keys),
         out_specs=P(),
+        check_vma=False,  # pallas_call has no vma annotations
     )(dy, *[tables[k] for k in keys])
 
 
@@ -191,6 +197,7 @@ def sharded_routed_project(mesh, tables: dict, meta: RoutedMeta, d2,
             in_specs=(P(),) + tuple(
                 P(axis, *([None] * (tables[k].ndim - 1))) for k in keys),
             out_specs=P(axis),
+            check_vma=False,  # pallas_call has no vma annotations
         )(d2, *[tables[k] for k in keys])
 
     def fwd(d2, tables):
@@ -203,7 +210,7 @@ def sharded_routed_project(mesh, tables: dict, meta: RoutedMeta, d2,
                 dD2 = _bwd_pallas(dy, dt, meta)
             else:
                 dD2 = routed_backproject_ref(dy, dt, meta)
-            return jax.lax.psum(dD2, RAY_AXIS)
+            return jax.lax.psum(dD2, axis)
 
         keys = sorted(tables)
         # dy is (D·T_local, HI, L) sharded on tiles → local (T_local, HI, L);
@@ -214,6 +221,7 @@ def sharded_routed_project(mesh, tables: dict, meta: RoutedMeta, d2,
             in_specs=(P(axis),) + tuple(
                 P(axis, *([None] * (tables[k].ndim - 1))) for k in keys),
             out_specs=P(),
+            check_vma=False,  # pallas_call has no vma annotations
         )(dy, *[tables[k] for k in keys])
         return dD2, None
 

@@ -259,3 +259,38 @@ def test_uncovered_tiles_and_windows_are_zeroed():
     dy = jnp.asarray(np.random.default_rng(1).random(y.shape), jnp.float32)
     dD2 = np.asarray(rp._bwd_pallas(dy, dt, meta, interpret=True))
     assert np.isfinite(dD2).all()
+
+
+def test_sharded_tables_per_shard_window_coverage():
+    """Each shard's wins_covered must reflect ONLY that shard's chunks: the
+    Pallas backward leaves output blocks it never visits uninitialized, and
+    a global mask would pass that garbage into the psum (regression)."""
+    from sph_raytracer_tpu.ops.route import _covered
+    from sph_raytracer_tpu.parallel.routed_sharded import shard_routed_tables
+
+    # synthetic: each 128-ray tile touches only its own density region,
+    # so different shards cover different windows
+    R, M, V = 512, 4, 4096
+    rng = np.random.default_rng(0)
+    lin = np.zeros((R, M), np.int32)
+    lens = rng.random((R, M)).astype(np.float32) + 0.1
+    for r in range(R):
+        lin[r] = (r // 128) * 1024 + rng.integers(0, 1024, M)
+    rt = build_routed_tables(lin, lens, V, G=128, SR=8, KD=3)
+    D = 4
+    stacked, metas = shard_routed_tables(rt, D)
+    H_sg = rt.wins_covered.shape[0]
+    bounds = np.searchsorted(rt.tile, np.arange(D + 1) * (
+        -(-rt.T // D)))
+    any_partial = False
+    for d in range(D):
+        lo, hi = int(bounds[d]), int(bounds[d + 1])
+        expect = _covered(rt.sg[lo:hi], H_sg) if hi > lo else np.zeros(
+            H_sg, np.int8)
+        got = stacked["wins_covered"][d]
+        assert got.shape == expect.shape
+        assert (got == expect).all(), d
+        if hi > lo and not (expect == rt.wins_covered).all():
+            any_partial = True
+    # the test problem must actually exercise partial coverage
+    assert any_partial
