@@ -47,11 +47,20 @@ def time_fn(f: Callable, *args, iters: int = 10, warmup: int = 1,
 
     for _ in range(warmup):
         run(1)
-    t0 = time.time()
-    run(baseline_iters)
-    t1 = time.time() - t0
-    t0 = time.time()
-    run(baseline_iters + iters)
-    t2 = time.time() - t0
-    # timing noise can make the slope marginally negative for trivial fns
-    return max(0.0, (t2 - t1) / iters)
+
+    def slope(n_iters):
+        t0 = time.time()
+        run(baseline_iters)
+        t1 = time.time() - t0
+        t0 = time.time()
+        run(baseline_iters + n_iters)
+        t2 = time.time() - t0
+        return (t2 - t1) / n_iters, t2 / (baseline_iters + n_iters)
+
+    # relay dispatch jitter can exceed kernel_time*iters for fast fns,
+    # driving the slope to ~0 or negative; retry longer, then fall back
+    # to the chained-run average (an upper bound, but never zero)
+    dt, avg = slope(iters)
+    if dt <= 0:
+        dt, avg = slope(4 * iters)
+    return dt if dt > 0 else avg
