@@ -72,6 +72,11 @@ class Operator:
             every execution engine (including the routed TPU kernels) and
             exactly linear/differentiable.  ``mode='fused'`` falls back to
             ``precomputed``.
+        debug: print a per-crossing table for one line of sight at
+            construction (reference raytracer.py:656-665).  Only the
+            selected LOS is traced — O(M) cost at any detector size.
+        debug_los: index tuple into ``geom.shape`` selecting the LOS
+            (default: the central pixel).
 
     Usage::
 
@@ -84,6 +89,7 @@ class Operator:
                  config: Optional[TraceConfig] = None,
                  mode: Optional[str] = None, ftype=None, itype=None,
                  trace_method: Optional[str] = None, view_times=None,
+                 debug: bool = False, debug_los=None,
                  _compute: bool = True):
         config = config or TraceConfig()
         if mode is not None:
@@ -201,6 +207,14 @@ class Operator:
                           "falling back to mode='precomputed'")
             mode = "precomputed"
         self._mode = mode
+
+        if debug:
+            # integrated per-LOS debug printout (reference
+            # raytracer.py:175-225, 656-665); traces only the selected
+            # LOS, before the (possibly expensive) table build below
+            from .utils.debug import debug_trace
+
+            debug_trace(self, debug_los)
 
         self.lin = self.lens = None
         self._routed = None

@@ -59,8 +59,18 @@ def time_fn(f: Callable, *args, iters: int = 10, warmup: int = 1,
 
     # relay dispatch jitter can exceed kernel_time*iters for fast fns,
     # driving the slope to ~0 or negative; retry longer, then fall back
-    # to the chained-run average (an upper bound, but never zero)
+    # to the chained-run average (an upper bound, but never zero).  The
+    # fallback is announced so consumers comparing candidates (tune.py)
+    # can see which numbers are slope-timed and which are averages that
+    # still include the constant dispatch/fetch overhead.
     dt, avg = slope(iters)
     if dt <= 0:
         dt, avg = slope(4 * iters)
+    if dt <= 0:
+        import sys
+
+        print(f"[time_fn] slope non-positive twice; falling back to "
+              f"chained-run average {avg * 1e3:.3f} ms (upper bound: "
+              f"includes constant dispatch/fetch overhead)",
+              file=sys.stderr)
     return dt if dt > 0 else avg

@@ -38,6 +38,60 @@ def test_fetch_sync():
 
 
 # ---------------------------------------------------------------------------
+# integrated per-LOS debug surface (reference raytracer.py:175-225, 656-665)
+
+def test_operator_debug_los(capsys):
+    from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+
+    grid = SphericalGrid(shape=(6, 6, 6), size_r=(1, 4))
+    geom = ConeRectGeom((5, 7), (8.0, 0.0, 0.0), fov=(30, 30))
+    op = Operator(grid, geom, mode="precomputed", ftype=jnp.float32,
+                  debug=True, debug_los=(2, 3))
+    out = capsys.readouterr().out
+    assert "LOS (2, 3):" in out and "ray_start:" in out
+
+    # the printed trace matches the operator's own table for that LOS
+    from sph_raytracer_tpu.utils.debug import debug_trace
+
+    regs, lens, ts = debug_trace(op, los=(2, 3))
+    flat = 2 * 7 + 3
+    row_len = float(np.asarray(op.lens)[flat].sum())
+    assert np.isclose(lens.sum(), row_len, rtol=1e-5)
+
+    # default LOS = central pixel
+    debug_trace(op)
+    assert "LOS (2, 3):" in capsys.readouterr().out
+
+    # bad LOS rank is rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        debug_trace(op, los=(1, 2, 3))
+
+
+def test_operator_debug_view_times(capsys):
+    from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+    from sph_raytracer_tpu.viewgeom import ViewGeomCollection
+
+    grid = SphericalGrid(shape=(3, 5, 5, 5), size_r=(1, 4),
+                         size_t=(0.0, 2.0))
+    geoms = ViewGeomCollection(
+        *[ConeRectGeom((4, 4), (8.0, 0.1 * i, 0.2), fov=(30, 30))
+          for i in range(3)])
+    op = Operator(grid, geoms, view_times=[0.0, 0.5, 2.0],
+                  mode="precomputed", ftype=jnp.float32,
+                  debug=True, debug_los=(1, 2, 2))
+    out = capsys.readouterr().out
+    assert "time lerp: bin 0" in out and "0.5" in out
+
+    # pure-binned 4D prints the single bin
+    op2 = Operator(grid, geoms, mode="precomputed", ftype=jnp.float32,
+                   dynamic=True, debug=True, debug_los=(2, 1, 1))
+    out2 = capsys.readouterr().out
+    assert "time bin: 2" in out2
+
+
+# ---------------------------------------------------------------------------
 # AOT export for serving (utils/export.py; no reference analog)
 
 def test_export_forward_roundtrip(tmp_path):
