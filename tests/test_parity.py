@@ -132,6 +132,19 @@ def test_dynamic4d_parity():
     assert_forward_and_grad_parity(op, g)
 
 
+def test_viewgeom_raw_parity():
+    """Raw user-supplied-rays ViewGeom (reference geometry.py:259-351):
+    random per-pixel starts and directions, forward image + pixel grads."""
+    from sph_raytracer_tpu import ViewGeom
+
+    g = load("viewgeom_raw")
+    grid = SphericalGrid(shape=(9, 10, 11), size_r=(0.2, 1.0))
+    assert np.allclose(grid.r_b, g["r_b"]) and np.allclose(grid.a_b, g["a_b"])
+    geom = ViewGeom(g["ray_starts"], g["rays"])
+    op = Operator(grid, geom, ftype=F64)
+    assert_forward_and_grad_parity(op, g)
+
+
 def test_adjoint_parity():
     g = load("adjoint")
     grid = SphericalGrid(shape=(7, 8, 9))

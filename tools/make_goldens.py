@@ -145,4 +145,18 @@ save(
     ray_starts=np.asarray(geom.ray_starts),
 )
 
+# 7. raw user-supplied-rays ViewGeom (reference geometry.py:259-351): the
+# one detector class whose ray math has no other golden exercising it —
+# random per-pixel starts AND directions, every ray off-axis and aimed
+# through the grid.
+grid = SphericalGrid(shape=(9, 10, 11), size_r=(0.2, 1.0))
+_r7 = np.random.default_rng(7)
+starts = _r7.normal(size=(6, 8, 3))
+starts *= 2.2 / np.linalg.norm(starts, axis=-1, keepdims=True)
+aims = _r7.uniform(-0.35, 0.35, size=(6, 8, 3))  # scatter inside the grid
+aims[..., :2] += np.where(aims[..., :2] >= 0, 0.05, -0.05)  # dodge z-axis
+dirs = aims - starts
+geom = ViewGeom(tr.as_tensor(starts), tr.as_tensor(dirs))
+run("viewgeom_raw", grid, geom)
+
 print("done")
