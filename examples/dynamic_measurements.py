@@ -5,6 +5,8 @@ TPU-native analog of reference examples/dynamic_measurements.py:17-80:
 20-time-bin dynamic grid, one view per time bin, forward projection and
 animated plots.
 """
+import os
+
 import matplotlib
 
 matplotlib.use("Agg")
@@ -15,20 +17,27 @@ import numpy as np
 from sph_raytracer_tpu import ConeCircGeom, Operator, SphericalGrid
 from sph_raytracer_tpu.plotting import image_stack, preview3d
 
+# SPH_TPU_EXAMPLE_* shrink the config so CI can exec this script end to
+# end (tests/test_examples.py); unset, it runs the full reference-scale
+# problem (reference examples/dynamic_measurements.py:17-38)
+N = int(os.environ.get("SPH_TPU_EXAMPLE_GRID", 50))    # volume N^3
+T = int(os.environ.get("SPH_TPU_EXAMPLE_TBINS", 20))   # time bins
+PREV = int(os.environ.get("SPH_TPU_EXAMPLE_PREVIEW", 256))
+
 # ----- Setup -----
-grid = SphericalGrid(shape=(20, 50, 50, 50))
+grid = SphericalGrid(shape=(T, N, N, N))
 
 # two static shells + a moving elevation element
 x = np.zeros(tuple(grid.shape), np.float32)
-x[:, :, 25:, :25] = 1
-x[:, :, :25, 25:] = 1
+x[:, :, N // 2:, :N // 2] = 1
+x[:, :, :N // 2, N // 2:] = 1
 for time in range(grid.shape.t):
-    x[time, :, time * 2, :] += 1
+    x[time, :, min(time * 2, N - 1), :] += 1
 x = jnp.asarray(x)
 
 # one orbit vantage per time bin
 geoms = sum(
-    ConeCircGeom(shape=(100, 50),
+    ConeCircGeom(shape=(2 * N, N),
                  pos=(5 * np.cos(th), 5 * np.sin(th), 1),
                  fov=(0, 45))
     for th in np.linspace(0, 2 * np.pi, grid.shape.t)
@@ -45,7 +54,8 @@ ax1 = fig.add_subplot(1, 3, 1)
 ax2 = fig.add_subplot(1, 3, 2, projection="3d")
 ax3 = fig.add_subplot(1, 3, 3, polar=True)
 
-ani1 = image_stack(preview3d(np.asarray(x), grid, azim=-45, orbit=False),
+ani1 = image_stack(preview3d(np.asarray(x), grid, azim=-45, orbit=False,
+                             shape=(PREV, PREV)),
                    ax=ax1)
 ax1.set_title("Dynamic Volume Preview")
 ax2.set_title("View Geometry")
@@ -64,7 +74,7 @@ print("saved dynamic.gif")
 # linearly interpolated between its bracketing time bins.
 V = 2 * grid.shape.t
 geoms_ct = sum(
-    ConeCircGeom(shape=(100, 50),
+    ConeCircGeom(shape=(2 * N, N),
                  pos=(5 * np.cos(th), 5 * np.sin(th), 1),
                  fov=(0, 45))
     for th in np.linspace(0, 2 * np.pi, V)

@@ -9,6 +9,7 @@ with::
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python examples/multichip_scaling.py
 """
+import os
 import time
 
 import jax
@@ -19,12 +20,15 @@ from sph_raytracer_tpu import ConeRectGeom, SphericalGrid
 from sph_raytracer_tpu.parallel import ShardedOperator, make_mesh
 
 # scaled config: 100^3 volume, 20 views of 100x200 rays (trimmed from the
-# 200-view flagship so the demo runs quickly; scale freely)
-grid = SphericalGrid(shape=(100, 100, 100))
+# 200-view flagship so the demo runs quickly; scale freely — CI shrinks
+# further via SPH_TPU_EXAMPLE_* (tests/test_examples.py))
+N = int(os.environ.get("SPH_TPU_EXAMPLE_GRID", 100))
+NVIEW = int(os.environ.get("SPH_TPU_EXAMPLE_VIEWS", 20))
+grid = SphericalGrid(shape=(N, N, N))
 views = sum(
-    ConeRectGeom((100, 200), pos=(3 * np.cos(t), 3 * np.sin(t), 0.4),
+    ConeRectGeom((N, 2 * N), pos=(3 * np.cos(t), 3 * np.sin(t), 0.4),
                  fov=(45, 45))
-    for t in np.linspace(0, 2 * np.pi, 20, endpoint=False)
+    for t in np.linspace(0, 2 * np.pi, NVIEW, endpoint=False)
 )
 
 mesh = make_mesh()

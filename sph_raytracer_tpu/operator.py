@@ -718,56 +718,26 @@ class Operator:
              ax=None, grid=None, geom=None):
         """Matplotlib wireframe of grid + geometry + path
         (reference raytracer.py:758-824)."""
+        from .viewgeom import Wireframe, render_wireframes
+
         grid = self.grid if grid is None else grid
         geom = self.geom if geom is None else geom
 
-        import matplotlib.pyplot as plt
-        from matplotlib import animation
-        from mpl_toolkits.mplot3d.art3d import Line3DCollection
-
-        if ax is None:
-            fig = plt.figure(figsize=(3, 3))
-            ax = fig.add_subplot(projection="3d", computed_zorder=False)
+        frames = geom.wireframe_frames() if plot_geom else [Wireframe.empty()]
+        pos = getattr(geom, "pos", None)
+        path = pos if (plot_path and pos is not None
+                       and np.ndim(pos) == 2) else None
 
         if plot_grid:
+            import matplotlib.pyplot as plt
+
+            if ax is None:
+                fig = plt.figure(figsize=(3, 3))
+                ax = fig.add_subplot(projection="3d", computed_zorder=False)
             grid.plot(ax)
 
-        pos = getattr(geom, "pos", None)
-        if pos is not None and plot_path and np.ndim(pos) == 2:
-            lc = Line3DCollection([])
-            segments = np.stack((pos[:-1], pos[1:]))
-            lc.set_segments(segments)
-            lc.set_linewidth(np.ones(len(segments)))
-            lc.set_colors(["gray"] * len(segments))
-            ax.add_collection(lc)
-
-        wireframe = geom._wireframe if plot_geom else [[[], [], []]]
-        lc = Line3DCollection([])
-        ax.add_collection(lc)
-
-        def update(num):
-            segments, widths, colors = wireframe[num]
-            lc.set_segments(segments)
-            lc.set_linewidth(widths)
-            lc.set_colors(colors)
-            return (lc,)
-
-        self._update = update
-        update(0)
-        lim = np.abs(geom.ray_starts).max()
-        ax.set_xlabel("X")
-        ax.set_ylabel("Y")
-        ax.set_zlabel("Z")
-        ax.set_xlim3d([-lim, lim])
-        ax.set_ylim3d([-lim, lim])
-        ax.set_zlim3d([-lim, lim])
-
-        if not self.dynamic and len(wireframe) == 1:
-            return ax
-        N = len(wireframe)
-        return animation.FuncAnimation(
-            ax.figure, update, N, interval=3000 / N, blit=False
-        )
+        return render_wireframes(
+            frames, bound=np.abs(geom.ray_starts).max(), ax=ax, path=path)
 
 
 def _round_block(n: int) -> int:

@@ -32,6 +32,35 @@ def sph2cart(rea):
     )
 
 
+def _degree_ticks(*axes):
+    from matplotlib.ticker import EngFormatter
+
+    fmt = EngFormatter(unit="\N{DEGREE SIGN}", sep="")
+    for a in axes:
+        a.set_major_formatter(fmt)
+
+
+def _draw_polar(ax, img, geom, **kw):
+    """One polar frame: pcolormesh over the detector's FOV annulus."""
+    inner, outer = (0.0, 1.0) if geom is None else tuple(geom.fov)
+    if geom is not None:
+        _degree_ticks(ax.yaxis)
+    edges_r = np.linspace(inner / 2, outer / 2, img.shape[-2] + 1)
+    edges_t = np.linspace(0, 2 * np.pi, img.shape[-1] + 1)
+    ax.grid(alpha=0.2)
+    return ax.pcolormesh(*np.meshgrid(edges_t, edges_r), img, **kw)
+
+
+def _draw_rect(ax, img, geom, **kw):
+    """One rectangular frame: imshow with FOV extents in degrees."""
+    extent = None
+    if geom is not None:
+        half_u, half_v = geom.fov[0] / 2, geom.fov[1] / 2
+        extent = (-half_v, half_v, -half_u, half_u)
+        _degree_ticks(ax.xaxis, ax.yaxis)
+    return ax.imshow(img, extent=extent, **kw)
+
+
 def image_stack(images, geom=None, ax=None, colorbar=False, polar=None, **kwargs):
     """Plot a single image or animate a stack of images.
 
@@ -52,62 +81,40 @@ def image_stack(images, geom=None, ax=None, colorbar=False, polar=None, **kwargs
     """
     import matplotlib.pyplot as plt
     from matplotlib import animation
-    from matplotlib.ticker import EngFormatter
-
-    ispolar = lambda g: isinstance(g, ConeCircGeom)  # noqa: E731
-    isiterable = lambda g: isinstance(g, (ViewGeomCollection, Iterable))  # noqa: E731
-    if polar is None:
-        polar = ispolar(geom) or (isiterable(geom) and ispolar(geom[0]))
-    if ax is None:
-        fig = plt.figure(figsize=(3, 3))
-        ax = fig.add_subplot(polar=polar)
-    else:
-        fig = ax.figure
 
     images = np.asarray(images)
-    deg_format = EngFormatter(unit="\N{DEGREE SIGN}", sep="")
-
-    if polar:
-        def imshow(img, g, **kw):
-            if g is not None:
-                ax.yaxis.set_major_formatter(deg_format)
-                fov = g.fov
-            else:
-                fov = (0, 1)
-            r_lin = np.linspace(fov[0] / 2, fov[1] / 2, img.shape[-2] + 1)
-            theta_lin = np.linspace(0, 2 * np.pi, img.shape[-1] + 1)
-            theta, r = np.meshgrid(theta_lin, r_lin)
-            ax.grid(alpha=0.2)
-            return ax.pcolormesh(theta, r, img, **kw)
-    else:
-        def imshow(img, g, **kw):
-            if g is not None:
-                extent = (-g.fov[1] / 2, g.fov[1] / 2, -g.fov[0] / 2, g.fov[0] / 2)
-                ax.xaxis.set_major_formatter(deg_format)
-                ax.yaxis.set_major_formatter(deg_format)
-            else:
-                extent = None
-            return ax.imshow(img, extent=extent, **kw)
-
-    if not {"vmin", "vmax"} <= kwargs.keys():
-        kwargs["vmin"], kwargs["vmax"] = np.nanmin(images), np.nanmax(images)
-
-    if images.ndim == 3:
-        geoms = geom if isiterable(geom) else repeat(geom)
-        artists = [
-            [imshow(im, g, animated=True, **kwargs)]
-            for im, g in zip(images, geoms)
-        ]
-        result = animation.ArtistAnimation(fig, artists, interval=200)
-    elif images.ndim == 2:
-        artists = [[imshow(images, geom, **kwargs)]]
-        result = fig
-    else:
+    if images.ndim not in (2, 3):
         raise ValueError("Invalid images shape")
+    animated = images.ndim == 3
+    frames = images if animated else images[None]
+
+    # one geometry per frame (a collection/iterable supplies its own)
+    if isinstance(geom, (ViewGeomCollection, Iterable)):
+        per_frame = list(geom)
+    else:
+        per_frame = list(repeat(geom, len(frames)))
+
+    if polar is None:
+        polar = isinstance(
+            per_frame[0] if per_frame else geom, ConeCircGeom)
+    if ax is None:
+        ax = plt.figure(figsize=(3, 3)).add_subplot(polar=polar)
+    fig = ax.figure
+
+    # shared color scale across the whole stack unless caller pins it
+    if not {"vmin", "vmax"} <= kwargs.keys():
+        kwargs["vmin"] = np.nanmin(images)
+        kwargs["vmax"] = np.nanmax(images)
+
+    draw = _draw_polar if polar else _draw_rect
+    artists = [[draw(ax, img, g, animated=animated, **kwargs)]
+               for img, g in zip(frames, per_frame)]
 
     if colorbar:
         fig.colorbar(artists[0][0], pad=0.1)
-    return result
+    if animated:
+        return animation.ArtistAnimation(fig, artists, interval=200)
+    return fig
 
 
 def color_negative(x):

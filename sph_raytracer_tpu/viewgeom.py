@@ -46,6 +46,103 @@ def _unit(v):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
+# ---------------------------------------------------------------------------
+# wireframe toolkit: a tiny value type + segment builders + one shared 3D
+# renderer used by every .plot() in the package (geoms, collections, and
+# Operator.plot).  The reference instead hand-builds [segments, widths,
+# colors] triples and a FuncAnimation closure in each class
+# (geometry.py:310-456); here each geometry only *describes* its outline.
+# ---------------------------------------------------------------------------
+
+class Wireframe(namedtuple("Wireframe", ["segments", "widths", "colors"])):
+    """One drawable frame of 3D line segments.
+
+    ``segments`` is (S, 2, 3) float64; ``widths`` (S,); ``colors`` a
+    length-S tuple of matplotlib colors.
+    """
+
+    __slots__ = ()
+
+    @classmethod
+    def lines(cls, segments, width: float = 1.0, color="black"):
+        segments = np.asarray(segments, dtype=np.float64).reshape(-1, 2, 3)
+        n = len(segments)
+        return cls(segments, np.full(n, float(width)), (color,) * n)
+
+    @classmethod
+    def empty(cls):
+        return cls(np.zeros((0, 2, 3)), np.zeros((0,)), ())
+
+    def __add__(self, other):
+        return Wireframe(
+            np.concatenate([self.segments, other.segments]),
+            np.concatenate([self.widths, other.widths]),
+            self.colors + other.colors,
+        )
+
+
+def _pairs(a, b):
+    """Segments joining two broadcast-compatible (…, 3) point sets."""
+    a, b = np.broadcast_arrays(np.asarray(a, np.float64),
+                               np.asarray(b, np.float64))
+    return np.stack((a.reshape(-1, 3), b.reshape(-1, 3)), axis=1)
+
+
+def _ring(pts):
+    """Closed polyline through the (N, 3) points ``pts``."""
+    return _pairs(pts, np.roll(pts, -1, axis=0))
+
+
+def render_wireframes(frames, bound, ax=None, path=None,
+                      cycle_ms: int = 3000):
+    """Draw wireframe ``frames`` on 3D axes.
+
+    Args:
+        frames: sequence of :class:`Wireframe` (one per animation frame).
+        bound: half-extent of the cubic plot volume.
+        ax: existing 3D axes (default: a new 3x3" figure).
+        path: optional (N, 3) polyline drawn in gray (e.g. an orbit).
+        cycle_ms: total animation cycle length in milliseconds.
+
+    Returns:
+        the axes for a single frame, else a FuncAnimation cycling frames.
+    """
+    import matplotlib.pyplot as plt
+    from matplotlib import animation
+    from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+    if ax is None:
+        fig = plt.figure(figsize=(3, 3))
+        ax = fig.add_subplot(projection="3d", computed_zorder=False)
+
+    if path is not None and len(path) > 1:
+        ax.add_collection(
+            Line3DCollection(_pairs(path[:-1], path[1:]),
+                             linewidths=1.0, colors="gray"))
+
+    art = Line3DCollection([])
+    ax.add_collection(art)
+
+    def show(i):
+        wf = frames[i]
+        art.set_segments(wf.segments)
+        art.set_linewidth(wf.widths)
+        art.set_colors(list(wf.colors))
+        return (art,)
+
+    show(0)
+    for label, limset in (("X", ax.set_xlim3d), ("Y", ax.set_ylim3d),
+                          ("Z", ax.set_zlim3d)):
+        getattr(ax, f"set_{label.lower()}label")(label)
+        limset((-bound, bound))
+
+    if len(frames) <= 1:
+        return ax
+    return animation.FuncAnimation(
+        ax.figure, show, len(frames), interval=cycle_ms / len(frames),
+        blit=False)
+
+
 def _default_updir(lookdir):
     """Default detector up-direction ``cross(lookdir, ẑ)`` (reference
     geometry.py:479-482), with a fallback to ``x̂`` when lookdir is parallel
@@ -92,39 +189,31 @@ class ViewGeom:
         return f"{self.__class__.__name__}(\n    shape={tuple(self.shape)}\n)"
 
     @property
+    def _reach(self) -> float:
+        """How far to extend drawn rays: twice the detector distance."""
+        return 2.0 * float(np.linalg.norm(
+            np.asarray(self.ray_starts, np.float64), axis=-1).max())
+
+    def wireframe_frames(self):
+        """Drawable outline of this detector, one :class:`Wireframe` per
+        animation frame.  The generic detector draws every ray, extended
+        to twice its own start distance."""
+        starts = np.broadcast_to(self.ray_starts, (*self.shape, 3))
+        reach = 2.0 * np.linalg.norm(starts, axis=-1, keepdims=True)
+        return [Wireframe.lines(_pairs(starts, starts + self.rays * reach))]
+
+    @property
     def _wireframe(self):
-        """(segments, widths, colors) list for 3D visualization."""
-        ray_ends = (
-            self.ray_starts
-            + self.rays * 2 * np.linalg.norm(self.ray_starts, axis=-1)[..., None]
-        ).reshape(-1, 3)
-        ray_starts = np.broadcast_to(
-            self.ray_starts.reshape(-1, 3), ray_ends.shape
-        )
-        segments = np.stack((ray_starts, ray_ends), axis=1)
-        return [[segments, np.ones(len(segments)), ["black"] * len(segments)]]
+        """Legacy [segments, widths, colors] frame list (consumed by
+        Operator.plot and older callers)."""
+        return [[wf.segments, wf.widths, list(wf.colors)]
+                for wf in self.wireframe_frames()]
 
     def plot(self, ax=None):
         """Matplotlib wireframe plot (reference geometry.py:325-351)."""
-        import matplotlib.pyplot as plt
-        from mpl_toolkits.mplot3d.art3d import Line3DCollection
-
-        if ax is None:
-            fig = plt.figure(figsize=(3, 3))
-            ax = fig.add_subplot(projection="3d", computed_zorder=False)
-
-        segments, widths, colors = self._wireframe[0]
-        lc = Line3DCollection(segments, linewidths=widths, colors=colors)
-        ax.add_collection(lc)
-
-        lim = np.abs(self.ray_starts).max()
-        ax.set_xlabel("X")
-        ax.set_ylabel("Y")
-        ax.set_zlabel("Z")
-        ax.set_xlim3d([-lim, lim])
-        ax.set_ylim3d([-lim, lim])
-        ax.set_zlim3d([-lim, lim])
-        return ax
+        return render_wireframes(
+            self.wireframe_frames(),
+            bound=np.abs(self.ray_starts).max(), ax=ax)
 
 
 class ViewGeomCollection(ViewGeom):
@@ -178,53 +267,15 @@ class ViewGeomCollection(ViewGeom):
             return np.stack([g.pos for g in self.geoms])
         return None
 
-    @property
-    def _wireframe(self):
-        return sum([g._wireframe for g in self.geoms], [])
+    def wireframe_frames(self):
+        """One frame per member vantage."""
+        return [wf for g in self.geoms for wf in g.wireframe_frames()]
 
     def plot(self, ax=None):
         """Animated wireframe of all vantages (reference geometry.py:409-456)."""
-        import matplotlib.pyplot as plt
-        from matplotlib import animation
-        from mpl_toolkits.mplot3d.art3d import Line3DCollection
-
-        if ax is None:
-            fig = plt.figure(figsize=(3, 3))
-            ax = fig.add_subplot(projection="3d", computed_zorder=False)
-
-        if (pos := self.pos) is not None:
-            lc = Line3DCollection([])
-            segments = np.stack((pos[:-1], pos[1:]))
-            lc.set_segments(segments)
-            lc.set_linewidth(np.ones(len(segments)))
-            lc.set_colors(["gray"] * len(segments))
-            ax.add_collection(lc)
-
-        wireframe = self._wireframe
-        lc = Line3DCollection([])
-        ax.add_collection(lc)
-
-        def update(num):
-            segments, widths, colors = wireframe[num]
-            lc.set_segments(segments)
-            lc.set_linewidth(widths)
-            lc.set_colors(colors)
-            return (lc,)
-
-        self._update = update
-        update(0)
-        lim = np.abs(self.ray_starts).max()
-        ax.set_xlabel("X")
-        ax.set_ylabel("Y")
-        ax.set_zlabel("Z")
-        ax.set_xlim3d([-lim, lim])
-        ax.set_ylim3d([-lim, lim])
-        ax.set_zlim3d([-lim, lim])
-
-        N = len(wireframe)
-        return animation.FuncAnimation(
-            ax.figure, update, N, interval=3000 / N, blit=False
-        )
+        return render_wireframes(
+            self.wireframe_frames(),
+            bound=np.abs(self.ray_starts).max(), ax=ax, path=self.pos)
 
 
 class ConeRectGeom(ViewGeom):
@@ -282,17 +333,12 @@ class ConeRectGeom(ViewGeom):
             f"    fov={self.fov.tolist()}\n)"
         )
 
-    @property
-    def _wireframe(self):
-        corners = self.rays[(-1, -1, 0, 0), (0, -1, -1, 0)].copy()
-        corners *= 2 * np.linalg.norm(self.pos)
-        corners += self.pos
-        cone_lines = np.stack(
-            (np.broadcast_to(self.pos, corners.shape), corners), axis=1
-        )
-        plane_lines = np.stack((corners, np.roll(corners, -1, axis=0)), axis=1)
-        segments = np.concatenate((cone_lines, plane_lines))
-        return [[segments, np.ones(len(segments)), ["black"] * len(segments)]]
+    def wireframe_frames(self):
+        """FOV pyramid: spokes from the pinhole to the four projected
+        detector corners, closed by the far rectangle."""
+        far = self.pos + self._reach * self.rays[(0, 0, -1, -1), (0, -1, -1, 0)]
+        return [Wireframe.lines(np.concatenate(
+            (_pairs(self.pos, far), _ring(far))))]
 
 
 class ConeCircGeom(ConeRectGeom):
@@ -333,19 +379,15 @@ class ConeCircGeom(ConeRectGeom):
         )
         return rays / np.linalg.norm(rays, axis=-1, keepdims=True)
 
-    @property
-    def _wireframe(self):
-        outer = self.rays[-1] * 2 * np.linalg.norm(self.pos) + self.pos
-        inner = self.rays[0] * 2 * np.linalg.norm(self.pos) + self.pos
-        sampling = math.ceil(len(outer) / 4)
-        cone_lines = np.stack(
-            (np.broadcast_to(self.pos, outer[::sampling].shape), outer[::sampling]),
-            axis=1,
-        )
-        outer_lines = np.stack((outer, np.roll(outer, -1, axis=0)), axis=1)
-        inner_lines = np.stack((inner, np.roll(inner, -1, axis=0)), axis=1)
-        segments = np.concatenate((cone_lines, inner_lines, outer_lines))
-        return [[segments, np.ones(len(segments)), ["black"] * len(segments)]]
+    def wireframe_frames(self):
+        """FOV annulus cone: inner and outer far rings plus four spokes
+        from the pinhole to the outer ring."""
+        inner, outer = (self.pos + self._reach * self.rays[i]
+                        for i in (0, -1))
+        spoke_every = math.ceil(len(outer) / 4)
+        return [Wireframe.lines(np.concatenate((
+            _pairs(self.pos, outer[::spoke_every]),
+            _ring(inner), _ring(outer))))]
 
 
 class ParallelGeom(ViewGeom):
@@ -403,14 +445,10 @@ class ParallelGeom(ViewGeom):
             f"    lookdir={self.lookdir.tolist()},\n)"
         )
 
-    @property
-    def _wireframe(self):
-        corners_start = self.ray_starts[(-1, -1, 0, 0), (0, -1, -1, 0)].copy()
-        corners_end = corners_start + self.lookdir[None, :] * 2 * np.linalg.norm(self.pos)
-        cone_lines = np.stack((corners_start, corners_end), axis=1)
-        plane_start = np.stack(
-            (corners_start, np.roll(corners_start, -1, axis=0)), axis=1
-        )
-        plane_end = np.stack((corners_end, np.roll(corners_end, -1, axis=0)), axis=1)
-        segments = np.concatenate((cone_lines, plane_start, plane_end))
-        return [[segments, np.ones(len(segments)), ["black"] * len(segments)]]
+    def wireframe_frames(self):
+        """Beam box: the four corner rays as parallel rails joining the
+        near and far detector rectangles."""
+        near = self.ray_starts[(0, 0, -1, -1), (0, -1, -1, 0)]
+        far = near + self._reach * self.lookdir
+        return [Wireframe.lines(np.concatenate(
+            (_pairs(near, far), _ring(near), _ring(far))))]

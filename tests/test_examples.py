@@ -44,6 +44,34 @@ def test_aot_serving(tmp_path, monkeypatch, capsys):
     assert "OK" in capsys.readouterr().out
 
 
+def test_static_retrieval_reduced(tmp_path, monkeypatch):
+    """The full static-retrieval script (incl. its GIF/plotting paths) at
+    env-shrunk scale (reference test_examples.py:5-16 execs the same
+    script at full scale)."""
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_GRID", "10")
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_VIEWS", "6")
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_ITERS", "5")
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_PREVIEW", "24")
+    run_example("static_retrieval.py", tmp_path, monkeypatch)
+    assert (tmp_path / "static_retrieval1.gif").exists()
+    assert (tmp_path / "static_retrieval2.gif").exists()
+
+
+def test_dynamic_measurements_reduced(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_GRID", "10")
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_TBINS", "4")
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_PREVIEW", "24")
+    run_example("dynamic_measurements.py", tmp_path, monkeypatch)
+    assert (tmp_path / "dynamic.gif").exists()
+
+
+def test_multichip_scaling_reduced(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_GRID", "12")
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_VIEWS", "4")
+    run_example("multichip_scaling.py", tmp_path, monkeypatch)
+    assert "rays/s" in capsys.readouterr().out
+
+
 def test_poisson_retrieval(tmp_path, monkeypatch, capsys):
     run_example("poisson_retrieval.py", tmp_path, monkeypatch)
     assert (tmp_path / "poisson_retrieval.png").exists()
