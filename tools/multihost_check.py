@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Validate the multi-host code paths with two REAL processes.
+
+Every `jax.process_count() > 1` branch in the package — the process-local
+banded table build (`parallel/sharded.py::_build_banded_process_local`),
+its `multihost_utils.process_allgather` size negotiation, and
+`put_sharded_tables_multihost` global-array assembly — is exercised by
+the 8-device single-process CPU mesh tests, but those never leave
+process_count()==1.  This tool launches itself as TWO processes under
+`jax.distributed.initialize` (gloo CPU collectives, 4 virtual devices
+each → the same 8-device global mesh) and checks that the resulting
+tables, forward image, psum'd volume gradient, and a 4-iteration `gd`
+run match the single-process global build.
+
+Run:  python tools/multihost_check.py          (spawns its own children)
+
+Exit code 0 = all checks passed.  Used by
+tests/test_sharded.py::test_two_process_multihost_build.
+"""
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT = int(os.environ.get("MH_PORT", "29817"))
+
+# fixture: 8 views x (8,16) = 1024 rays over an 8^3 grid; G=128 -> 8 ray
+# tiles, one per device, so every device (and both processes) owns work.
+# Sized for wall-clock: the kernels run in interpreter mode on the CPU
+# mesh, so every chunk is python-speed — keep iteration counts minimal.
+GRID = (8, 8, 8)
+NVIEW, DET = 8, (8, 16)
+G, ITERS = 128, 2
+
+
+def _fixture():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sph_raytracer_tpu import ConeRectGeom, SphericalGrid
+
+    grid = SphericalGrid(shape=GRID)
+    geom = sum(
+        ConeRectGeom(DET, pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, NVIEW, endpoint=False)
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).random(GRID, np.float64), jnp.float32)
+    return grid, geom, x
+
+
+def _run_case(local_build):
+    """Build the sharded banded operator and compute all check outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sph_raytracer_tpu.config import TraceConfig
+    from sph_raytracer_tpu.loss import SquareLoss
+    from sph_raytracer_tpu.models import FullyDenseModel
+    from sph_raytracer_tpu.parallel import ShardedOperator, make_mesh
+    from sph_raytracer_tpu.retrieval import gd
+
+    grid, geom, x = _fixture()
+    mesh = make_mesh()
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
+                      routed_bands=4, routed_chunk_multiple=2,
+                      sharded_local_build=local_build)
+    sop = ShardedOperator(grid, geom, mesh=mesh, config=cfg)
+    assert sop._sharded_routed == "banded", sop._sharded_routed
+
+    def fetch(a):
+        """Full value of a (possibly cross-process sharded) global array."""
+        rep = jax.jit(lambda v: v,
+                      out_shardings=NamedSharding(mesh, P()))(a)
+        return np.asarray(jax.device_get(rep.addressable_data(0)))
+
+    y = sop(x)
+    g = jax.grad(lambda d: jnp.mean((sop(d) - y) ** 2))(x)
+    coeffs, _, losses = gd(sop, y, FullyDenseModel(grid),
+                           num_iterations=ITERS, chunk=2,
+                           progress_bar=False, loss_fns=[SquareLoss()],
+                           learning_rate=0.1)
+    hist = np.asarray(losses[next(iter(losses))], np.float64)
+    out = dict(image=fetch(y), grad=fetch(g), coeffs=fetch(coeffs),
+               hist=hist)
+    # the device tables themselves, for byte-identity checks
+    for k, v in sop._sb_ft.items():
+        out[f"ft_{k}"] = fetch(v)
+    for k, v in sop._sb_bt.items():
+        out[f"bt_{k}"] = fetch(v)
+    return out
+
+
+def main_child():
+    import jax
+
+    mode = os.environ["MH_MODE"]
+    if mode == "rank":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        rank = int(os.environ["MH_RANK"])
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{PORT}",
+            num_processes=2, process_id=rank)
+        assert jax.process_count() == 2
+        assert jax.device_count() == 8
+        # sharded_local_build=None auto-selects the process-local build
+        # at process_count()>1 — the code path under test
+        out = _run_case(local_build=None)
+        if rank == 0:
+            import numpy as np
+
+            np.savez(os.environ["MH_OUT"], **out)
+    else:  # single-process global-build reference
+        assert jax.device_count() == 8
+        import numpy as np
+
+        np.savez(os.environ["MH_OUT"], **_run_case(local_build=False))
+    print(f"[multihost_check] {mode}{os.environ.get('MH_RANK', '')} done",
+          flush=True)
+
+
+def _child_env(ndev, **extra):
+    env = dict(os.environ)
+    # scrub any device-tunnel sitecustomize (same escape as
+    # tests/conftest.py): children must run on the local CPU backend
+    for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+              "AXON_POOL_SVC_OVERRIDE", "AXON_LOOPBACK_RELAY"):
+        env.pop(k, None)
+    pyp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+           if p and "axon_site" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([REPO] + pyp)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
+    env.update(extra)
+    return env
+
+
+def main_runner():
+    import numpy as np
+
+    here = os.path.abspath(__file__)
+    with tempfile.TemporaryDirectory() as td:
+        ref, mh = os.path.join(td, "ref.npz"), os.path.join(td, "mh.npz")
+        r = subprocess.run(
+            [sys.executable, here],
+            env=_child_env(8, MH_MODE="ref", MH_OUT=ref), timeout=900)
+        assert r.returncode == 0, "single-process reference failed"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, here],
+                env=_child_env(4, MH_MODE="rank", MH_RANK=str(i),
+                               MH_OUT=mh))
+            for i in range(2)
+        ]
+        for p in procs:
+            assert p.wait(timeout=900) == 0, "2-process run failed"
+
+        a, b = np.load(ref), np.load(mh)
+        assert set(a.files) == set(b.files)
+        for k in a.files:
+            ak, bk = a[k], b[k]
+            assert ak.shape == bk.shape, (k, ak.shape, bk.shape)
+            if k.startswith(("ft_", "bt_")):
+                # table bytes must be identical regardless of which host
+                # built them
+                assert np.array_equal(ak, bk), f"table {k} differs"
+            else:
+                # kernel math is identical; the only reduction crossing
+                # the process boundary is the gradient psum, where gloo's
+                # reduce order may differ from single-process XLA by ULPs
+                assert np.allclose(ak, bk, rtol=1e-6, atol=1e-7), (
+                    k, np.abs(ak - bk).max())
+        exact = sum(np.array_equal(a[k], b[k]) for k in a.files)
+        print(f"[multihost_check] OK: {len(a.files)} arrays match "
+              f"({exact} bit-identical) across 2-process vs 1-process "
+              f"builds")
+
+
+if __name__ == "__main__":
+    if os.environ.get("MH_MODE"):
+        main_child()
+    else:
+        main_runner()
