@@ -90,6 +90,14 @@ class TraceConfig:
     # similar-size geometries); tests use small explicit values to
     # exercise unequal fwd/bwd grouping sizes
     routed_chunk_multiple: object = "auto"  # int or "auto"
+    # where the routing tables are BUILT: 'host' = trace on the host +
+    # numpy/C++ router + upload (the original pipeline); 'device' = trace
+    # AND route on the accelerator (ops/route_device.py) — no host
+    # routing, no table upload, setup drops from ~29 s to a few seconds
+    # on a relayed TPU; 'auto' = device on TPU backends for the banded
+    # f32 engine, host otherwise.  Device-built tables are byte-identical
+    # to host-built ones (tested).
+    routed_build: str = "auto"
     # ShardedOperator banded-table build: None = process-local when
     # running multi-host (each host traces + routes only its addressable
     # devices' ray ranges — host memory stays O(local shard)), global

@@ -219,9 +219,14 @@ class Operator:
         self.lin = self.lens = None
         self._routed = None
         if _compute and mode in ("precomputed", "routed"):
-            # routed mode consumes the tables on the HOST (the router is
-            # numpy); device copies would waste HBM + relay transfer time
-            lin, lens, n, _ = self._traced_tables(device=(mode != "routed"))
+            dev_route = mode == "routed" and self._use_device_router()
+            # the HOST router consumes numpy tables; the DEVICE router
+            # (ops/route_device.py) consumes them where they were traced
+            if dev_route:
+                lin, lens, n, _ = self._traced_tables_device()
+            else:
+                lin, lens, n, _ = self._traced_tables(
+                    device=(mode != "routed"))
             lin, lens = self._apply_offsets(lin[:n], lens[:n])
             self.lin, self.lens = lin, lens
             # keep the host mirror consistent (sliced + time offsets)
@@ -231,7 +236,13 @@ class Operator:
                 self._lin_host, self._lens_host = self._apply_offsets(
                     self._lin_host[:n], self._lens_host[:n])
             if mode == "routed":
-                self._build_routed()
+                if dev_route:
+                    self._build_routed_device(lin, lens)
+                    # the crossing tables are consumed; don't pin another
+                    # 0.5 GB of HBM behind an unused attribute
+                    self.lin = self.lens = None
+                else:
+                    self._build_routed()
 
     # ------------------------------------------------------------------
     def _apply_offsets(self, lin, lens, rows=None):
@@ -401,6 +412,108 @@ class Operator:
         return lin, lens, n, rs
 
     # ------------------------------------------------------------------
+    def _traced_tables_device(self):
+        """Trace on the default accelerator, bypassing the disk trace
+        cache and the host pdevice: the device router consumes the tables
+        in place, so a host-side trace (plus the re-upload) or a cache
+        write would cost more than the on-chip trace itself."""
+        import os
+        import time
+
+        from .ops.project import precompute_table
+
+        t0 = time.time()
+        config = self.config
+        platform = jax.default_backend()
+        method = config.trace_method
+        if method == "auto":
+            method = "ranked" if platform == "tpu" else "sorted"
+        out = precompute_table(
+            self.gs,
+            self._xs_np.astype(np.dtype(config.ftype)),
+            self._rays_np.astype(np.dtype(config.ftype)),
+            block=min(config.precompute_block_rays,
+                      _round_block(self._nrays)),
+            itype=config.itype,
+            method=method,
+            platform=platform,
+        )
+        if os.environ.get("SPH_TPU_TIMING"):
+            import sys
+
+            from .utils.profiling import fetch_sync
+
+            fetch_sync(out[1])
+            print(f"[timing] on-device trace {time.time() - t0:.1f}s "
+                  f"({method})", file=sys.stderr)
+        return out
+
+    def _use_device_router(self) -> bool:
+        """Whether to route on the accelerator (ops/route_device.py)."""
+        cfg = self.config
+        if cfg.routed_build == "host":
+            return False
+        if not cfg.routed_banded:
+            return False  # only the banded engine has a device builder
+        if cfg.routed_build == "device":
+            return True
+        # auto: on-device when the kernels will actually run there (a CPU
+        # backend keeps the host pipeline — its interpret-mode runs are
+        # tests, and the host router is faster than XLA-on-CPU sorts)
+        return jax.default_backend() == "tpu"
+
+    def _build_routed_device(self, lin, lens):
+        """Route on the device holding the traced tables — no host
+        routing pass, no multi-GB table upload (see ops/route_device.py).
+        The resulting engine state is identical in shape and semantics to
+        :meth:`_build_routed_banded`'s."""
+        import os
+        import time
+
+        from .ops.route_device import build_banded_device
+        from .ops.routed_project import _bwd_banded_pallas, banded_project
+
+        cfg = self.config
+        timing = os.environ.get("SPH_TPU_TIMING")
+        t0 = time.time()
+        B = cfg.routed_bands
+        ft, meta, btd, metab, helper = build_banded_device(
+            lin, lens, self._flat_size, G=cfg.routed_g,
+            SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B,
+            chunk_multiple=cfg.routed_chunk_multiple)
+        if timing:
+            import sys
+
+            from .utils.profiling import fetch_sync
+
+            fetch_sync(ft.w)  # block_until_ready lies through the relay
+            print(f"[timing] device router {time.time() - t0:.1f}s "
+                  f"(NCB={meta.NC}/{metab.NC})", file=sys.stderr)
+        self._rt = helper
+        self._dt = (ft, btd)
+        self._rmeta, self._rmeta_bwd = meta, metab
+        interp = bool(cfg.interpret) or jax.default_backend() != "tpu"
+
+        @jax.jit
+        def fwd_one(flat, dt):
+            ft, btd = dt
+            d2 = helper.pad_density(flat)
+            y = banded_project(d2, ft, btd, meta, metab, B, interp)
+            return y.reshape(-1)[: meta.n_rays]
+
+        @jax.jit
+        def adj_one(yf, dt):
+            _, btd = dt
+            pad = meta.T * meta.G - yf.shape[0]
+            yt = jnp.concatenate(
+                [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
+                    meta.T, meta.HI, 128)
+            d2 = _bwd_banded_pallas(yt, btd, metab, B, interpret=interp)
+            return helper.unpad_density(d2)
+
+        self._routed = fwd_one
+        self._routed_adj = adj_one
+
     def _build_routed(self):
         """Compile the crossing tables into the lane-routed Pallas engine
         (ops/route.py) — replaces XLA's ~100x-off-roofline element gathers

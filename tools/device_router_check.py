@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Flagship on-chip validation of the device router (ops/route_device).
+
+Builds the banded routed engine twice on the real TPU — host pipeline
+(trace on host/cache + numpy/C++ router + table upload) vs on-device
+pipeline (trace on chip + XLA routing, no upload) — and checks forward
+image + volume gradient parity plus the steady-state step time.
+
+Run on the TPU (no JAX_PLATFORMS override):  python tools/device_router_check.py
+"""
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+
+import sph_raytracer_tpu as srt
+from sph_raytracer_tpu.utils.profiling import fetch_sync, time_fn
+
+print("devices:", jax.devices(), flush=True)
+grid = srt.SphericalGrid(shape=(50, 50, 50))
+geoms = sum(
+    srt.ConeRectGeom((50, 100), pos=(5 * np.cos(t), 5 * np.sin(t), 1),
+                     fov=(45, 45))
+    for t in np.linspace(0, 2 * np.pi, 50, endpoint=False))
+
+x = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)),
+                jnp.float32)
+fetch_sync(x)
+
+t0 = time.time()
+dop = srt.Operator(grid, geoms, mode="routed")  # auto routed_build=device
+fetch_sync(dop._dt[0].w)
+t_dev = time.time() - t0
+print(f"[device build] {t_dev:.1f}s  NCB={dop._rmeta.NC}/"
+      f"{dop._rmeta_bwd.NC}", flush=True)
+
+t0 = time.time()
+y_dev = dop(x)
+fetch_sync(y_dev)
+print(f"[device] fwd compile+first {time.time() - t0:.1f}s", flush=True)
+
+if os.environ.get("SKIP_HOST") != "1":
+    t0 = time.time()
+    hop = srt.Operator(grid, geoms, mode="routed",
+                       config=srt.TraceConfig(mode="routed",
+                                              routed_build="host"))
+    fetch_sync(hop._dt[0].w)
+    t_host = time.time() - t0
+    print(f"[host build] {t_host:.1f}s", flush=True)
+    y_host = hop(x)
+    d = np.abs(np.asarray(y_dev) - np.asarray(y_host)).max()
+    print(f"forward parity max|diff| = {d}", flush=True)
+    g_dev = jax.grad(lambda v: jnp.mean((dop(v) - y_dev) ** 2))(x)
+    g_host = jax.grad(lambda v: jnp.mean((hop(v) - y_dev) ** 2))(x)
+    dg = np.abs(np.asarray(g_dev) - np.asarray(g_host)).max()
+    print(f"gradient parity max|diff| = {dg}", flush=True)
+else:
+    # standalone sanity: compare against the XLA fused projection on a
+    # small ray subset? — skipped; parity is covered by the host run
+    g_dev = jax.grad(lambda v: jnp.mean((dop(v) - y_dev) ** 2))(x)
+    fetch_sync(g_dev)
+
+# steady-state scan step (what gd runs): jitted chained fwd+bwd
+pl = dop.payload
+
+
+@partial(jax.jit, static_argnames=("n",))
+def step_chain(v, pl, n):
+    def body(c, _):
+        o = dop.with_payload(pl)
+        loss, g = jax.value_and_grad(
+            lambda d: jnp.mean((o(d) - y_dev) ** 2))(c)
+        return c - 0.01 * g, loss
+
+    c, losses = jax.lax.scan(body, v, None, length=n)
+    return c, losses
+
+
+c, _ = step_chain(x, pl, n=2)  # compile warmup
+fetch_sync(c)
+t0 = time.time()
+c, _ = step_chain(x, pl, n=2)
+fetch_sync(c)
+ta = time.time() - t0
+t0 = time.time()
+c, _ = step_chain(x, pl, n=12)
+fetch_sync(c)
+tb = time.time() - t0
+dt = (tb - ta) / 10
+print(f"scan step fwd+bwd {dt * 1e3:.2f} ms/step "
+      f"({250_000 / dt / 1e6:.1f}M rays/s)", flush=True)
+print("OK", flush=True)
