@@ -13,10 +13,11 @@ execution mode): 351,129 rays/s fwd+bwd (1.09M fwd-only, 14.9s
 precompute).  Reproduce with the reference's Operator on the same config.
 
 Pipeline measured: the lane-routed Pallas engine (Operator mode='auto' →
-'routed' on TPU; ops/route.py).  The one-time setup (crossing trace on the
-host CPU backend + routing tables) is reported to stderr but not part of
-the steady-state metric, mirroring how the reference's README treats its
-precompute.
+'routed' on TPU; ops/route.py).  The one-time setup — since round 2 an
+ON-DEVICE pipeline (ops/route_device.py): crossing trace on the chip +
+XLA routing, no host router, no table upload — is reported to stderr but
+not part of the steady-state metric, mirroring how the reference's
+README treats its precompute.
 """
 import json
 import os
@@ -146,7 +147,10 @@ def main():
     cfg = autotune(grid, geom, config=TraceConfig(mode="auto"),
                    cached_only=True, verbose=True).replace(mode="auto")
     op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
-    print(f"[bench] setup (trace+route+upload) {time.time() - t0:.1f}s "
+    build = ("on-device trace+route"
+             if getattr(op, "_rt", None).__class__.__name__
+             == "DevicePadHelper" else "trace+route+upload")
+    print(f"[bench] setup ({build}) {time.time() - t0:.1f}s "
           f"mode={op._mode}", file=sys.stderr)
 
     rng = np.random.default_rng(0)

@@ -378,7 +378,7 @@ def _slot_of_chunk(lay, NC, B):
 
 def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
                         KD: int = 3, B: int = 32, chunk_multiple="auto",
-                        max_iter: int = 16, npad_multiple: int = 1 << 18):
+                        max_iter: int = 16, npad_multiple: int = 1 << 20):
     """Build banded routing tables on the device holding ``lin``/``lens``.
 
     Args:
@@ -401,6 +401,29 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
         RoutedMeta,
     )
 
+    import os
+    import sys
+    import time
+
+    # per-stage ticks only at SPH_TPU_TIMING=2: each tick fetch-syncs
+    # through the relay (~0.3-1 s), serializing stages that otherwise
+    # pipeline — the default =1 must not pay that in the setup number
+    timing = os.environ.get("SPH_TPU_TIMING") == "2"
+
+    def tick(label, *sync):
+        if not timing:
+            return
+        from ..utils.profiling import fetch_sync
+
+        for s in sync:
+            fetch_sync(s)
+        now = time.time()
+        print(f"[timing]   route_device/{label} {now - tick.t0:.1f}s",
+              file=sys.stderr)
+        tick.t0 = now
+
+    tick.t0 = time.time()
+
     assert G % LANES == 0 and SR % SUBLANES == 0
     R, M = lin.shape
     HI = G // LANES
@@ -419,18 +442,21 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
     khi, klo, rowkey, p, lv, w, nlive = _stage_classify(
         lin, lens, M, G, NSG, SR, T)
     nlive = int(nlive)  # host sync 1
+    tick("classify", w)
     if nlive == 0:
         return _empty_banded_device(SR, KD, G, HI, T, H, R, volume_size,
                                     B, chunk_multiple)
     npad = min(_round_up(nlive, npad_multiple), R * M)
     rowkey, p, lv, w = _stage_compact(khi, klo, rowkey, p, lv, w, npad,
                                       exact=(npad == nlive))
+    tick("compact", w)
     spill = jnp.zeros((npad,), _I32)
 
     for _ in range(max_iter):
         col, rep, run_id, ends, rposf, kk, kmax_g = _stage_assign(
             rowkey, spill, p, lv)
         if int(kmax_g) < KD:  # host sync per iteration (1-2 typical)
+            tick("assign", kk)
             break
         spill = _stage_spill(rowkey, p, run_id, ends, KD)
         rowkey, spill, p, lv, w = _stage_resort(rowkey, spill, p, lv, w)
@@ -439,11 +465,13 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
 
     chunk_of, NC_last = _stage_chunks(rowkey, rep, SR)
     NC = int(NC_last) + 1  # host sync
+    tick("chunks", chunk_of)
     NCpad = _round_up(NC, 1024)
     sg_c, tile_c, kmax_c, sdf_c, live_c = _stage_chunk_scalars(
         rowkey, chunk_of, ends, rposf, kk, w, NCpad, SR, NSG)
     ppos, lastp, rposb = _stage_perm(chunk_of, rowkey, lv, col, SR)
     sdb_c = _stage_sdb(chunk_of, lastp, rposb, NCpad)
+    tick("perm+scalars", sdb_c, ppos)
 
     # per-chunk arrays are KB-scale: lay out the band packing on the host
     sg_h = np.asarray(jax.device_get(sg_c))[:NC]
@@ -452,6 +480,7 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
     sdf_h = np.asarray(jax.device_get(sdf_c))[:NC]
     sdb_h = np.asarray(jax.device_get(sdb_c))[:NC]
     live_h = np.asarray(jax.device_get(live_c))[:NC] > 0
+    tick("chunk-fetch")
 
     # pure-dead chunks (all slots from npad padding) are dropped from the
     # band layout — their fills park past the table end (mode='drop'), so
@@ -491,8 +520,10 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
     NRb = bwd["NCB"] * B * SR
     ftbl = _stage_fill_fwd(f_slot, chunk_of, rowkey, col, lv, w, hi, lp,
                            ends, rposf, k_entry, NRf, SR, KD)
+    tick("fill-fwd", ftbl["w"])
     btbl = _stage_fill_bwd(b_slot, chunk_of, rowkey, col, lv, w, hi, lp,
                            ends, k_entry, ppos, lastp, rposb, NRb, SR, KD)
+    tick("fill-bwd", btbl["wp"])
 
     scan_fwd = max(1, int(sdf_h[live_ids].max())) if len(live_ids) else 1
     scan_bwd = max(1, int(sdb_h[live_ids].max())) if len(live_ids) else 1

@@ -30,11 +30,34 @@ from .config import TraceConfig
 
 __all__ = ["autotune", "DEFAULT_CANDIDATES"]
 
-# (routed_bands, routed_band_rows); G/KD stay at their measured global
-# optima (G=4096 is the packed-key ceiling, KD=3 covers all spills there)
+# (routed_bands, routed_band_rows); G/KD default to their measured
+# flagship optima (G=4096 is the packed-key ceiling, KD=3 covers all
+# spills there).  Candidates may also be dicts replacing ANY layout
+# fields, e.g. {"routed_g": 2048, "routed_kd": 2, "routed_bands": 16} —
+# see GRID_CANDIDATES for a wider sweep used on dense configs.
 DEFAULT_CANDIDATES: Tuple[Tuple[int, int], ...] = (
     (16, 8), (32, 8), (64, 8), (16, 16), (32, 16), (16, 32),
 )
+
+# wider (G, KD, B) sweep for crossing-dense problems (vol100 /
+# config5_shard): per-ray crossing counts double at 100^3, shifting the
+# collision/occupancy balance that G and KD control
+GRID_CANDIDATES: Tuple[dict, ...] = tuple(
+    {"routed_g": g, "routed_kd": kd, "routed_bands": b,
+     "routed_band_rows": 8}
+    for g in (2048, 4096)
+    for kd in (2, 3, 4)
+    for b in (16, 32, 64)
+)
+
+
+def _norm_candidate(c) -> dict:
+    """A candidate is either a legacy (bands, band_rows) pair or a dict of
+    TraceConfig layout fields to replace."""
+    if isinstance(c, dict):
+        return dict(c)
+    b, r = c
+    return {"routed_bands": int(b), "routed_band_rows": int(r)}
 
 
 def _sig(grid, geom, backend: str, config: TraceConfig) -> str:
@@ -47,6 +70,9 @@ def _sig(grid, geom, backend: str, config: TraceConfig) -> str:
     h.update(np.asarray(geom.ray_starts, np.float64).tobytes())
     h.update(np.asarray(geom.rays, np.float64).tobytes())
     h.update(f"{backend}/{config.routed_g}/{config.routed_kd}/v1".encode())
+    # NB: G/KD stay in the signature so results saved before they became
+    # tunable stay valid (they key the BASE config; tuned fields may
+    # override them)
     return h.hexdigest()[:24]
 
 
@@ -94,11 +120,12 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
     if cache and os.path.exists(cpath):
         with open(cpath) as fh:
             saved = json.load(fh)
+        fields = saved.get("fields") or {
+            "routed_bands": int(saved["bands"]),
+            "routed_band_rows": int(saved["band_rows"])}
         if verbose:
-            print(f"[autotune] cached: B={saved['bands']} "
-                  f"SRb={saved['band_rows']}", file=sys.stderr)
-        return base.replace(routed_bands=int(saved["bands"]),
-                            routed_band_rows=int(saved["band_rows"]))
+            print(f"[autotune] cached: {fields}", file=sys.stderr)
+        return base.replace(**fields)
     if cached_only:
         return base
 
@@ -106,9 +133,9 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
     x = jnp.asarray(rng.random(tuple(grid.shape)),
                     jnp.dtype(base.ftype))
     results = []
-    for bands, rows in candidates:
-        cfg = base.replace(routed_bands=int(bands),
-                           routed_band_rows=int(rows))
+    for cand in candidates:
+        fields = _norm_candidate(cand)
+        cfg = base.replace(**fields)
         try:
             op = Operator(grid, geom, config=cfg)
             y = op(x)
@@ -122,22 +149,22 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
             t = time_fn(sj, x, op.payload, iters=iters)
         except Exception as e:  # layout infeasible (e.g. VMEM) — skip
             if verbose:
-                print(f"[autotune] B={bands} SRb={rows}: FAILED "
+                print(f"[autotune] {fields}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
             continue
-        results.append((t, bands, rows))
+        results.append((t, fields))
         if verbose:
-            print(f"[autotune] B={bands} SRb={rows}: {t*1e3:.2f} ms/step",
+            print(f"[autotune] {fields}: {t*1e3:.2f} ms/step",
                   file=sys.stderr)
+        del op
     if not results:
         raise RuntimeError("autotune: every candidate failed")
-    t, bands, rows = min(results)
+    results.sort(key=lambda r: r[0])
+    t, fields = results[0]
     if cache:
         os.makedirs(cdir, exist_ok=True)
         with open(cpath, "w") as fh:
-            json.dump({"bands": bands, "band_rows": rows,
-                       "ms_per_step": t * 1e3,
-                       "all": [{"bands": b, "band_rows": r,
-                                "ms": tt * 1e3}
-                               for tt, b, r in sorted(results)]}, fh)
-    return base.replace(routed_bands=bands, routed_band_rows=rows)
+            json.dump({"fields": fields, "ms_per_step": t * 1e3,
+                       "all": [{"fields": f, "ms": tt * 1e3}
+                               for tt, f in results]}, fh)
+    return base.replace(**fields)

@@ -88,17 +88,26 @@ def step_chain(v, pl, n):
     return c, losses
 
 
-c, _ = step_chain(x, pl, n=2)  # compile warmup
-fetch_sync(c)
+# slope over repeated calls of the SAME compiled chunk (a different
+# static n would recompile the chain and pollute the slope)
+K = 5
+
+
+def run(nchunks):
+    c = x
+    for _ in range(nchunks):
+        c, _ = step_chain(c, pl, n=K)
+    fetch_sync(c)
+
+
+run(1)  # compile
 t0 = time.time()
-c, _ = step_chain(x, pl, n=2)
-fetch_sync(c)
+run(1)
 ta = time.time() - t0
 t0 = time.time()
-c, _ = step_chain(x, pl, n=12)
-fetch_sync(c)
+run(5)
 tb = time.time() - t0
-dt = (tb - ta) / 10
+dt = (tb - ta) / (4 * K)
 print(f"scan step fwd+bwd {dt * 1e3:.2f} ms/step "
       f"({250_000 / dt / 1e6:.1f}M rays/s)", flush=True)
 print("OK", flush=True)
