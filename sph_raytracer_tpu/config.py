@@ -90,6 +90,12 @@ class TraceConfig:
     # similar-size geometries); tests use small explicit values to
     # exercise unequal fwd/bwd grouping sizes
     routed_chunk_multiple: object = "auto"  # int or "auto"
+    # fused-mode execution backend: 'pallas' = the in-kernel-trace fused
+    # engine (ops/fused_pallas.py — crossings, sort, midpoint labels and
+    # density gather all inside one Pallas kernel; zero tables, O(tile)
+    # memory); 'xla' = the blockwise lax.map re-trace (ops/project.py);
+    # 'auto' = pallas on TPU when fused_pallas.supported() else xla.
+    fused_backend: str = "auto"
     # where the routing tables are BUILT: 'host' = trace on the host +
     # numpy/C++ router + upload (the original pipeline); 'device' = trace
     # AND route on the accelerator (ops/route_device.py) — no host

@@ -777,11 +777,40 @@ class Operator:
             # call would ride the relay every optimization step)
             off = self._off_dev = jnp.asarray(
                 self._view_offsets, dtype=self.config.itype)
+        if self._fused_pallas():
+            from .ops.fused_pallas import fused_pallas_project
+
+            out = jnp.stack([
+                fused_pallas_project(
+                    self.gs, flat.reshape(-1, self._flat_size)[i],
+                    self._xs, self._rays, self.config.itype,
+                    bool(self.config.interpret), view_offsets=off)
+                for i in range(int(np.prod(flat.shape[:-1])) or 1)
+            ])
+            return out.reshape(*flat.shape[:-1], -1)
         block = min(self.config.block_rays, _round_block(self._nrays))
         return _fused_jit(
             self.gs, flat, self._xs, self._rays, off,
             block, jnp.dtype(self.config.itype).name
         ).reshape(*flat.shape[:-1], -1)
+
+    def _fused_pallas(self) -> bool:
+        """Whether fused mode runs the in-kernel-trace Pallas engine."""
+        be = self.config.fused_backend
+        if be == "xla":
+            return False
+        from .ops.fused_pallas import supported
+
+        ok = supported(self.gs, self._flat_size)
+        if be == "pallas":
+            if not ok:
+                raise ValueError(
+                    "fused_backend='pallas' but this grid is outside the "
+                    "in-kernel fused engine's envelope (see "
+                    "ops/fused_pallas.supported)")
+            return True
+        return ok and (jax.default_backend() == "tpu"
+                       or bool(self.config.interpret))
 
     def T(self, line_integrations):
         """Adjoint backprojection (reference raytracer.py:715-748; unlike

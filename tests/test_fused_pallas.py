@@ -1,0 +1,128 @@
+"""In-kernel fused engine (ops/fused_pallas.py) vs the XLA oracle.
+
+The trace — intersections, bitonic sort, midpoint labels — runs inside
+the Pallas kernel (interpret mode here); forward images and VJP
+gradients must match the precomputed path.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_raytracer_tpu import (
+    ConeRectGeom,
+    Operator,
+    SphericalGrid,
+    TraceConfig,
+)
+from sph_raytracer_tpu.ops.fused_pallas import (
+    fused_pallas_project,
+    supported,
+)
+from sph_raytracer_tpu.ops.trace import GridSpec
+
+
+def _geo(geom):
+    xs = jnp.asarray(
+        np.broadcast_to(geom.ray_starts, (*geom.shape, 3)), jnp.float32)
+    return xs, jnp.asarray(geom.rays, jnp.float32)
+
+
+CASES = [
+    # (grid kwargs, detector builder)
+    (dict(shape=(8, 9, 10), size_r=(0.3, 1.0)),
+     lambda: sum(ConeRectGeom((6, 7), pos=(2 * np.cos(t), 2 * np.sin(t),
+                                           0.4), fov=(45, 45))
+                 for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))),
+    # log radial spacing + interior-start rays (start inside the grid)
+    (dict(shape=(7, 6, 9), size_r=(0.1, 1.0), spacing="log"),
+     lambda: ConeRectGeom((5, 6), pos=(0.5, 0.1, 0.2),
+                          lookdir=(1.0, 0.3, -0.1), fov=(60, 60))),
+    # partial grid (no full-azimuth wrap), parallel-ish rays
+    (dict(r_b=np.linspace(0.0, 1.0, 7), e_b=np.linspace(0.4, 2.7, 7),
+          a_b=np.linspace(-2.0, 2.4, 8)),
+     lambda: ConeRectGeom((6, 6), pos=(1.8, -0.4, 0.3), fov=(35, 35))),
+]
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_fused_pallas_matches_oracle(case):
+    gkw, mk = CASES[case]
+    grid = SphericalGrid(**gkw)
+    geom = mk()
+    gs = GridSpec.from_grid(grid, ftype=jnp.float32)
+    V = int(np.prod(grid.vshape))
+    assert supported(gs, V)
+    op = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(case).random(V), jnp.float32)
+    xs, rays = _geo(geom)
+    y = fused_pallas_project(gs, x, xs, rays, jnp.int32, True)
+    ref = np.asarray(op(x.reshape(grid.vshape))).reshape(y.shape)
+    assert np.allclose(np.asarray(y), ref, atol=2e-5, rtol=1e-4), \
+        np.abs(np.asarray(y) - ref).max()
+
+    g = jax.grad(lambda v: jnp.sum(
+        fused_pallas_project(gs, v, xs, rays, jnp.int32, True) ** 2))(x)
+    gr = jax.grad(lambda v: jnp.sum(op(v.reshape(grid.vshape)) ** 2))(x)
+    assert np.allclose(np.asarray(g), np.asarray(gr), atol=1e-4,
+                       rtol=1e-3), np.abs(np.asarray(g)
+                                          - np.asarray(gr)).max()
+
+
+def test_fused_pallas_operator_mode():
+    """Operator(mode='fused', fused_backend='pallas') end to end,
+    including channel batching."""
+    grid = SphericalGrid(shape=(8, 9, 10), size_r=(0.3, 1.0))
+    geom = sum(ConeRectGeom((6, 7), pos=(2 * np.cos(t), 2 * np.sin(t),
+                                         0.4), fov=(45, 45))
+               for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))
+    cfg = TraceConfig(mode="fused", fused_backend="pallas",
+                      interpret=True)
+    fop = Operator(grid, geom, config=cfg)
+    assert fop._fused_pallas()
+    ref = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).random(tuple(grid.shape)), jnp.float32)
+    assert np.allclose(np.asarray(fop(x)), np.asarray(ref(x)), atol=2e-5)
+    xc = jnp.stack([x, 2 * x])
+    assert np.allclose(np.asarray(fop(xc)), np.asarray(ref(xc)),
+                       atol=4e-5)
+
+
+def test_fused_pallas_dynamic_offsets():
+    """Binned 4D volumes via per-ray view offsets.
+
+    View angles are offset from the π/3-spaced azimuth boundaries: a
+    midpoint EXACTLY on a boundary plane may label to either adjacent
+    voxel (equal-length knife edge; the fused kernel's half-plane sign
+    test and the XLA path's atan2+searchsorted round differently there —
+    see ops/fused_pallas.py docstring)."""
+    T = 3
+    grid = SphericalGrid(shape=(T, 6, 6, 6), size_r=(0.3, 1.0))
+    geom = sum(ConeRectGeom((5, 5), pos=(2 * np.cos(t), 2 * np.sin(t),
+                                         0.3), fov=(45, 45))
+               for t in np.linspace(0.15, np.pi + 0.15, T,
+                                    endpoint=False))
+    cfg = TraceConfig(mode="fused", fused_backend="pallas",
+                      interpret=True)
+    fop = Operator(grid, geom, config=cfg)
+    ref = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(1).random(tuple(grid.shape)), jnp.float32)
+    assert np.allclose(np.asarray(fop(x)), np.asarray(ref(x)), atol=2e-5)
+
+
+def test_fused_pallas_envelope():
+    """Out-of-envelope grids are refused by 'pallas' and auto-fall back
+    under 'auto'."""
+    big = SphericalGrid(shape=(100, 100, 100))
+    gs = GridSpec.from_grid(big, ftype=jnp.float32)
+    assert not supported(gs, 10 ** 6)
+    geom = ConeRectGeom((4, 4), pos=(2.0, 0.1, 0.2), fov=(30, 30))
+    with pytest.raises(ValueError, match="envelope"):
+        Operator(big, geom, config=TraceConfig(
+            mode="fused", fused_backend="pallas", interpret=True))(
+                jnp.zeros(tuple(big.shape), jnp.float32))
+    f64 = GridSpec.from_grid(SphericalGrid(shape=(8, 8, 8)),
+                             ftype=jnp.float64)
+    assert not supported(f64, 512)
