@@ -61,20 +61,33 @@ def shard_rays(mesh: Mesh, xs, rays, axis: str = RAY_AXIS, block: int = 1):
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "gs", "block", "itype_name", "axis"),
+    static_argnames=("mesh", "gs", "block", "itype_name", "axis",
+                     "pallas", "interpret"),
 )
 def sharded_project(mesh, gs: GridSpec, flat2, xs, rays, off, block,
-                    itype_name, axis=RAY_AXIS):
+                    itype_name, axis=RAY_AXIS, pallas=False,
+                    interpret=False):
     """Fused projection under shard_map: rays sharded, volume replicated.
 
     Args:
         flat2: (C, V) volume, channels flattened to one leading axis.
         xs / rays: (Rp, 3) padded ray shards.
         off: (Rp,) per-ray time offsets (dynamic grids) or zeros.
+        pallas: run the in-kernel fused engine (ops/fused_pallas.py) per
+            shard instead of the XLA blockwise re-trace.
 
     Returns (C, Rp) line integrals, sharded over rays.
     """
     def local(flat2, xs_s, rays_s, off_s):
+        if pallas:
+            from ..ops.fused_pallas import fused_pallas_project
+
+            return jnp.stack([
+                fused_pallas_project(
+                    gs, flat2[i], xs_s, rays_s, jnp.dtype(itype_name),
+                    interpret, view_offsets=off_s)
+                for i in range(flat2.shape[0])
+            ])
         return project_fused(
             gs, flat2, xs_s, rays_s, view_offsets=off_s,
             block=block, itype=jnp.dtype(itype_name),
@@ -85,6 +98,8 @@ def sharded_project(mesh, gs: GridSpec, flat2, xs, rays, off, block,
         mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None), P(axis)),
         out_specs=P(None, axis),
+        # pallas_call has no vma annotations (same as routed_sharded)
+        check_vma=not pallas,
     )(flat2, xs, rays, off)
 
 
@@ -189,6 +204,27 @@ class ShardedOperator(Operator):
         if self._mode == "precomputed":
             lin, lens = self._build_sharded_tables()
             self.lin, self.lens = lin, lens
+
+    def _fused_pallas_sharded(self) -> bool:
+        """Whether fused mode runs the in-kernel Pallas engine per shard
+        (same policy as Operator._fused_pallas; lerp-doubled 4D tables
+        have no fused analog, and f64 is outside the envelope)."""
+        if self._mode != "fused" or self._wt is not None:
+            return False
+        be = self.config.fused_backend
+        if be == "xla":
+            return False
+        from ..ops.fused_pallas import supported
+
+        ok = supported(self.gs, self._flat_size)
+        if be == "pallas":
+            if not ok:
+                raise ValueError(
+                    "fused_backend='pallas' but this grid is outside the "
+                    "in-kernel fused engine's envelope")
+            return True
+        return ok and (jax.default_backend() == "tpu"
+                       or bool(self.config.interpret))
 
     def _build_sharded_tables(self):
         gs, cfg, mesh = self.gs, self.config, self.mesh
@@ -451,6 +487,8 @@ class ShardedOperator(Operator):
             out = sharded_project(
                 self.mesh, self.gs, flat2, self._xs, self._rays, self._off,
                 self._block, jnp.dtype(self.config.itype).name,
+                pallas=self._fused_pallas_sharded(),
+                interpret=bool(self.config.interpret),
             )
         out = out[:, : self._nrays]
         return out.reshape(*chan, *self._rshape)

@@ -112,6 +112,30 @@ def test_fused_pallas_dynamic_offsets():
     assert np.allclose(np.asarray(fop(x)), np.asarray(ref(x)), atol=2e-5)
 
 
+def test_fused_pallas_sharded():
+    """ShardedOperator(mode='fused', fused_backend='pallas') runs the
+    in-kernel engine per shard under shard_map (8-device CPU mesh),
+    with the psum'd gradient matching the single-device oracle."""
+    from sph_raytracer_tpu.parallel import ShardedOperator, make_mesh
+
+    grid = SphericalGrid(shape=(8, 9, 10), size_r=(0.3, 1.0))
+    geom = sum(ConeRectGeom((6, 7), pos=(2 * np.cos(t), 2 * np.sin(t),
+                                         0.4), fov=(45, 45))
+               for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))
+    cfg = TraceConfig(mode="fused", fused_backend="pallas",
+                      interpret=True)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    assert sop._fused_pallas_sharded()
+    ref = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(2).random(tuple(grid.shape)), jnp.float32)
+    assert np.allclose(np.asarray(sop(x)), np.asarray(ref(x)), atol=2e-5)
+    y = ref(x)
+    g_sh = jax.grad(lambda d: jnp.mean((sop(d) - y) ** 2))(x)
+    g_ref = jax.grad(lambda d: jnp.mean((ref(d) - y) ** 2))(x)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-5)
+
+
 def test_fused_pallas_envelope():
     """Out-of-envelope grids are refused by 'pallas' and auto-fall back
     under 'auto'."""

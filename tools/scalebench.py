@@ -49,7 +49,13 @@ def run(name):
     )
     nrays = int(np.prod(geom.shape))
     t0 = time.time()
-    op = Operator(grid, geom, mode="auto", ftype=jnp.float32)
+    # pick up a previously swept layout (tools/density_sweep.py) if one
+    # is cached for this config — never measure candidates here
+    from sph_raytracer_tpu import TraceConfig, autotune
+
+    cfg = autotune(grid, geom, config=TraceConfig(mode="auto"),
+                   cached_only=True, verbose=True).replace(mode="auto")
+    op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
     setup = time.time() - t0
     rng = np.random.default_rng(0)
     density = jnp.asarray(rng.random(tuple(grid.shape)), jnp.float32)
