@@ -55,12 +55,17 @@ def setup():
     return grid, geom, lin, lens, op
 
 
-def test_device_router_bit_identical(setup):
+@pytest.mark.parametrize("sr,b", [(SR, B), (16, 2)])
+def test_device_router_bit_identical(setup, sr, b):
     grid, geom, lin, lens, op = setup
     V = int(np.prod(grid.vshape))
-    ftH, metaH, btdH, metabH = _host_build(lin, lens, V)
+    rt8 = build_routed_tables(lin, lens, V, G=G, SR=sr, KD=KD)
+    ftH, metaH = banded_device_fwd(
+        band_pack(rt8, B=b, by="tile", chunk_multiple=CM))
+    btdH, metabH = banded_device_bwd(
+        band_pack(rt8, B=b, by="window", chunk_multiple=CM))
     ft, meta, btd, metab, helper = build_banded_device(
-        jnp.asarray(lin), jnp.asarray(lens), V, G=G, SR=SR, KD=KD, B=B,
+        jnp.asarray(lin), jnp.asarray(lens), V, G=G, SR=sr, KD=KD, B=b,
         chunk_multiple=CM, npad_multiple=1)
     assert meta == metaH and metab == metabH
     _assert_tables_equal(ft, ftH, "fwd")
