@@ -68,16 +68,23 @@ def supported(gs: GridSpec, n_flat: int) -> bool:
     # azimuth half-plane sign tests assume boundaries in [-π, π]
     if gs.a_b[0] < -np.pi - 1e-9 or gs.a_b[-1] > np.pi + 1e-9:
         return False
-    # density image must fit VMEM beside ~8 (Mp,128) f32 element buffers
-    H = _round8(-(-n_flat // LANES))
+    # element buffers (~10 per-stage (Mp,128) f32 values) must fit VMEM;
+    # the density image itself only needs VMEM on the small-volume
+    # unrolled path — big volumes stream it from HBM (_needs_dynamic)
     Mp = _pow2(gs.num_crossings)
-    if H * LANES * 4 + 10 * Mp * LANES * 4 > 12 * 2 ** 20:
+    if 10 * Mp * LANES * 4 > 12 * 2 ** 20:
         return False
-    # the density sweep unrolls (H/8 windows) x (Mp/8 element vregs)
-    # bodies — cap the kernel's instruction count (compile time)
-    if (H // 8) * (Mp // 8) > 4096:
+    if n_flat >= (1 << 30):  # linear codes must fit int32 comfortably
         return False
     return True
+
+
+def _needs_dynamic(H: int, Mp: int) -> bool:
+    """Unrolled sweep = (H/8)·(Mp/8) static bodies; past this budget the
+    kernel streams 8-row density windows from HBM through a
+    double-buffered DMA fori_loop instead (instruction count O(Mp/8))."""
+    return ((H // 8) * (Mp // 8) > 4096
+            or H * LANES * 4 + 10 * Mp * LANES * 4 > 12 * 2 ** 20)
 
 
 def _pad_lanes(vals, fill):
@@ -123,7 +130,12 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full'):
+def _round16(x: int) -> int:
+    return ((x + 15) // 16) * 16
+
+
+def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full',
+                 dynamic_sweep: bool = False):
     """Build the fused forward kernel for a static grid spec."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -244,7 +256,8 @@ def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full'):
         src = jnp.broadcast_to(row_const, (Mp, LANES))
         return jnp.take_along_axis(src, idx, axis=1)
 
-    def kernel(geo_ref, off_ref, bc_ref, d2_ref, y_ref, acc_scr):  # noqa: C901
+    def kernel(geo_ref, off_ref, bc_ref, d2_ref, y_ref, acc_scr,
+               *aux_scr):  # noqa: C901
         geo = geo_ref[0]
         bc = bc_ref[:]
         r2_row = bc[BROWS + 0: BROWS + 1]
@@ -315,27 +328,89 @@ def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full'):
         # 8 lane-gathers from broadcast rows + row-equality selects.
         # Sorted ts put +inf (dead) segments at the tail, so whole dead
         # m-vregs skip via pl.when (few big regions, not a when-storm).
-        acc_scr[:] = jnp.zeros((Mp, LANES), jnp.float32)
-        for v in range(Mp // 8):
-            sl = slice(8 * v, 8 * v + 8)
-            wl_s = wl[sl]
-            row_s = drow[sl]
-            lane_s = dlane[sl]
+        if not dynamic_sweep:
+            acc_scr[:] = jnp.zeros((Mp, LANES), jnp.float32)
+            for v in range(Mp // 8):
+                sl = slice(8 * v, 8 * v + 8)
+                wl_s = wl[sl]
+                row_s = drow[sl]
+                lane_s = dlane[sl]
 
-            @pl.when(jnp.any(wl_s > 0))
-            def _sweep(wl_s=wl_s, row_s=row_s, lane_s=lane_s, sl=sl):
-                part = jnp.zeros((8, LANES), jnp.float32)
-                for qg in range(H // 8):
-                    win = d2_ref[8 * qg: 8 * qg + 8, :]
-                    ridx = row_s - 8 * qg
-                    for w in range(8):
-                        rowvals = jnp.broadcast_to(win[w: w + 1],
-                                                   (8, LANES))
-                        val = jnp.take_along_axis(rowvals, lane_s,
-                                                  axis=1)
-                        part = part + jnp.where(ridx == w, val * wl_s,
-                                                0.0)
-                acc_scr[sl] = part
+                @pl.when(jnp.any(wl_s > 0))
+                def _sweep(wl_s=wl_s, row_s=row_s, lane_s=lane_s, sl=sl):
+                    part = jnp.zeros((8, LANES), jnp.float32)
+                    for qg in range(H // 8):
+                        win = d2_ref[8 * qg: 8 * qg + 8, :]
+                        ridx = row_s - 8 * qg
+                        for w in range(8):
+                            rowvals = jnp.broadcast_to(win[w: w + 1],
+                                                       (8, LANES))
+                            val = jnp.take_along_axis(rowvals, lane_s,
+                                                      axis=1)
+                            part = part + jnp.where(ridx == w,
+                                                    val * wl_s, 0.0)
+                    acc_scr[sl] = part
+        else:
+            # big-volume variant: the density stays in HBM (memory_space
+            # ANY) and 8-row windows stream through a double-buffered DMA
+            # inside a fori_loop — the loop BODY is compiled once, so the
+            # kernel's instruction count no longer scales with H.  Window
+            # scratch slots are indexed statically (the loop walks window
+            # PAIRS; a traced slot index would be a dynamic VMEM slice,
+            # the known Mosaic compile-time trap).
+            win_scr, dma_sems = aux_scr
+            acc_scr[:] = jnp.zeros((Mp, LANES), jnp.float32)
+            GV = 4  # element vregs per liveness gate: one pl.when per
+            # 32-row group keeps the scalar branch overhead ~1/GV of the
+            # per-vreg gating (64 tiny whens per window measured ~7 µs)
+            live_g = jnp.stack(
+                [jnp.any(wl[8 * GV * g: 8 * GV * (g + 1)] > 0
+                         ).astype(jnp.int32)
+                 for g in range(Mp // 8 // GV)]).reshape(1, -1)
+            # windows the TILE actually touches: live rows only
+            row_live = jnp.where(wl > 0, drow, 0)
+            hi_pair = jnp.max(row_live) // 16 + 1
+            lo_pair = jnp.min(jnp.where(wl > 0, drow, H - 1)) // 16
+
+            def dma(slot, qg):
+                return pltpu.make_async_copy(
+                    d2_ref.at[pl.ds(qg * 8, 8)], win_scr.at[slot],
+                    dma_sems.at[slot])
+
+            def sweep(win, base):
+                for g in range(Mp // 8 // GV):
+                    sl = slice(8 * GV * g, 8 * GV * (g + 1))
+
+                    @pl.when(live_g[0, g] > 0)
+                    def _sw(sl=sl, win=win, base=base):
+                        ridx = drow[sl] - base
+                        part = jnp.zeros((8 * GV, LANES), jnp.float32)
+                        for w in range(8):
+                            rowvals = jnp.broadcast_to(
+                                win[w: w + 1], (8 * GV, LANES))
+                            val = jnp.take_along_axis(
+                                rowvals, dlane[sl], axis=1)
+                            part = part + jnp.where(
+                                ridx == w, val * wl[sl], 0.0)
+                        acc_scr[sl] += part
+
+            dma(0, 2 * lo_pair).start()
+
+            def pair_body(k, _):
+                qg0 = 2 * k
+                dma(1, qg0 + 1).start()
+                dma(0, qg0).wait()
+                sweep(win_scr[0], qg0 * 8)
+
+                @pl.when(k + 1 < hi_pair)
+                def _prefetch():
+                    dma(0, qg0 + 2).start()
+
+                dma(1, qg0 + 1).wait()
+                sweep(win_scr[1], (qg0 + 1) * 8)
+                return 0
+
+            jax.lax.fori_loop(lo_pair, hi_pair, pair_body, 0)
         if stage == "acc":
             y_ref[0] = acc_scr[:]
             return
@@ -353,10 +428,17 @@ def _fused_pallas_call(gs: GridSpec, d2, geo, off, H: int,
     from jax.experimental.pallas import tpu as pltpu
 
     Mp = _pow2(gs.num_crossings)
-    kernel = _make_kernel(gs, H, Mp, stage)
+    dyn = _needs_dynamic(H, Mp)
+    kernel = _make_kernel(gs, H, Mp, stage, dynamic_sweep=dyn)
     bc = jnp.asarray(_boundary_const(gs))
     BR = bc.shape[0]
     T = geo.shape[0]
+    d2_spec = (pl.BlockSpec(memory_space=pl.ANY) if dyn
+               else pl.BlockSpec((H, LANES), lambda t: (0, 0)))
+    scratch = [pltpu.VMEM((Mp, LANES), jnp.float32)]
+    if dyn:
+        scratch += [pltpu.VMEM((2, 8, LANES), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
     return pl.pallas_call(
         kernel,
         grid=(T,),
@@ -364,7 +446,7 @@ def _fused_pallas_call(gs: GridSpec, d2, geo, off, H: int,
             pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0)),
             pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0)),
             pl.BlockSpec((BR, LANES), lambda t: (0, 0)),
-            pl.BlockSpec((H, LANES), lambda t: (0, 0)),
+            d2_spec,
         ],
         out_specs=(pl.BlockSpec((1, 8, LANES), lambda t: (t, 0, 0))
                    if stage == "full" else
@@ -372,7 +454,7 @@ def _fused_pallas_call(gs: GridSpec, d2, geo, off, H: int,
         out_shape=(jax.ShapeDtypeStruct((T, 8, LANES), jnp.float32)
                    if stage == "full" else
                    jax.ShapeDtypeStruct((T, Mp, LANES), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((Mp, LANES), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(geo, off, bc, d2)
 
@@ -471,7 +553,9 @@ def _fused_fwd(gs, density_flat, xs, rays, itype, interpret,
     rays = jnp.asarray(rays, jnp.float32)
     geo, off, n, rshape = _prep_geo(xs, rays, view_offsets, itype)
     V = density_flat.shape[-1]
-    H = _round8(-(-V // LANES))  # the window sweep walks 8-row groups
+    # the window sweep walks 8-row groups; the dynamic (streamed) sweep
+    # walks PAIRS of windows, so H is padded to 16 rows
+    H = _round16(-(-V // LANES))
     pad = H * LANES - V
     d2 = jnp.concatenate(
         [density_flat.astype(jnp.float32),

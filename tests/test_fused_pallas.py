@@ -137,16 +137,50 @@ def test_fused_pallas_sharded():
 
 
 def test_fused_pallas_envelope():
-    """Out-of-envelope grids are refused by 'pallas' and auto-fall back
-    under 'auto'."""
+    """100³ (BASELINE config #5 scale) is inside the envelope via the
+    streamed-window sweep; M > 512 and f64 are refused and auto-fall
+    back."""
+    from sph_raytracer_tpu.ops.fused_pallas import _needs_dynamic
+
     big = SphericalGrid(shape=(100, 100, 100))
     gs = GridSpec.from_grid(big, ftype=jnp.float32)
-    assert not supported(gs, 10 ** 6)
+    assert supported(gs, 10 ** 6)
+    assert _needs_dynamic(7816, 512)
+
+    huge = GridSpec.from_grid(SphericalGrid(shape=(128, 128, 128)),
+                              ftype=jnp.float32)  # Mp = 1024 > 512
+    assert not supported(huge, 128 ** 3)
     geom = ConeRectGeom((4, 4), pos=(2.0, 0.1, 0.2), fov=(30, 30))
     with pytest.raises(ValueError, match="envelope"):
-        Operator(big, geom, config=TraceConfig(
-            mode="fused", fused_backend="pallas", interpret=True))(
-                jnp.zeros(tuple(big.shape), jnp.float32))
+        Operator(SphericalGrid(shape=(128, 128, 128)), geom,
+                 config=TraceConfig(mode="fused", fused_backend="pallas",
+                                    interpret=True))(
+            jnp.zeros((128, 128, 128), jnp.float32))
     f64 = GridSpec.from_grid(SphericalGrid(shape=(8, 8, 8)),
                              ftype=jnp.float64)
     assert not supported(f64, 512)
+
+
+def test_fused_pallas_dynamic_sweep(monkeypatch):
+    """The streamed-window (DMA fori_loop) sweep matches the unrolled
+    one — forced on a small grid via _needs_dynamic."""
+    import sph_raytracer_tpu.ops.fused_pallas as fp
+
+    grid = SphericalGrid(shape=(8, 9, 10), size_r=(0.3, 1.0))
+    geom = sum(ConeRectGeom((6, 7), pos=(2 * np.cos(t), 2 * np.sin(t),
+                                         0.4), fov=(45, 45))
+               for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))
+    gs = GridSpec.from_grid(grid, ftype=jnp.float32)
+    V = int(np.prod(grid.vshape))
+    op = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(5).random(V), jnp.float32)
+    xs, rays = _geo(geom)
+    monkeypatch.setattr(fp, "_needs_dynamic", lambda H, Mp: True)
+    fp._fused_pallas_call.clear_cache()
+    try:
+        y = fp.fused_pallas_project(gs, x, xs, rays, jnp.int32, True)
+        ref = np.asarray(op(x.reshape(grid.vshape))).reshape(y.shape)
+        assert np.allclose(np.asarray(y), ref, atol=2e-5), \
+            np.abs(np.asarray(y) - ref).max()
+    finally:
+        fp._fused_pallas_call.clear_cache()
