@@ -71,7 +71,13 @@ def main():
     vol = jnp.asarray(rng.random(tuple(grid.shape)), jnp.float32)
 
     t0 = time.time()
-    op = srt.Operator(grid, geom, mode="routed")
+    # routed_build='host': the sharded build below routes on the host,
+    # and the bit-identity claim needs both sides consuming the SAME
+    # trace (the default device build traces on-chip with the ranked
+    # method — f32 rounding/order differ from the host trace)
+    op = srt.Operator(grid, geom,
+                      config=srt.TraceConfig(mode="routed",
+                                             routed_build="host"))
     img_ref = np.asarray(op(vol))
     y = jnp.asarray(img_ref + 0.1)
     print(f"[check] single-device setup {time.time() - t0:.1f}s",
