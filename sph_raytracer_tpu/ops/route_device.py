@@ -376,31 +376,28 @@ def _slot_of_chunk(lay, NC, B):
 # driver
 # ---------------------------------------------------------------------------
 
-def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
+def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
                         KD: int = 3, B: int = 32, chunk_multiple="auto",
-                        max_iter: int = 16, npad_multiple: int = 1 << 20):
-    """Build banded routing tables on the device holding ``lin``/``lens``.
+                        max_iter: int = 16, npad_multiple: int = 1 << 20,
+                        T: int = None):
+    """Device-routing core: banded tables as RAW pieces.
+
+    Same algorithm as :func:`build_banded_device` (which wraps this), but
+    the per-superchunk scalars stay UNPACKED numpy arrays so callers can
+    re-pad shards to a common superchunk count before packing ``p2`` —
+    the multi-device table build (parallel/routed_sharded.py's
+    ``build_banded_device_shards``) stacks shards on a leading device
+    axis and needs every shard at identical shapes.
 
     Args:
-        lin: (R, M) packed voxel indices (device; int32).
-        lens: (R, M) segment lengths (device; zeros dropped here).
-        volume_size: V (or T·V for dynamic volumes).
-        G / SR / KD / B / chunk_multiple: as route.build_routed_tables /
-            route.band_pack (SR = rows per band = routed_band_rows).
-        npad_multiple: live-crossing padding granularity (compile-cache
-            bucketing; 1 = exact, used by the bit-parity tests).
+        T: tile-count override (≥ the natural ``ceil(R/G)``) — sharded
+            builds pass the common tiles-per-device so the last (short)
+            shard's tile space matches its peers.
 
-    Returns:
-        (ft, meta, btd, metab, helper): BandedDeviceFwd / BandedDeviceBwd
-        device tables + their RoutedMeta, plus a :class:`DevicePadHelper`
-        providing pad_density/unpad_density.
+    Returns a dict with device row tables (``ftbl``/``btbl``), numpy
+    per-superchunk scalars (``fsc``/``bsc``: bp, keyp, kmax, sdf|sdb,
+    first), coverage masks, superchunk counts and scan depths.
     """
-    from .routed_project import (
-        BandedDeviceBwd,
-        BandedDeviceFwd,
-        RoutedMeta,
-    )
-
     import os
     import sys
     import time
@@ -427,7 +424,10 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
     assert G % LANES == 0 and SR % SUBLANES == 0
     R, M = lin.shape
     HI = G // LANES
-    T = (R + G - 1) // G
+    T_nat = (R + G - 1) // G
+    if T is None:
+        T = T_nat
+    assert T >= T_nat, (T, T_nat)
     H = _round_up(max(1, math.ceil(volume_size / LANES)), SR)
     NSG = H // SR
     if NSG > 2 ** 15:
@@ -444,8 +444,8 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
     nlive = int(nlive)  # host sync 1
     tick("classify", w)
     if nlive == 0:
-        return _empty_banded_device(SR, KD, G, HI, T, H, R, volume_size,
-                                    B, chunk_multiple)
+        return _empty_core(SR, KD, G, HI, T, H, R, volume_size, B,
+                           chunk_multiple)
     npad = min(_round_up(nlive, npad_multiple), R * M)
     rowkey, p, lv, w = _stage_compact(khi, klo, rowkey, p, lv, w, npad,
                                       exact=(npad == nlive))
@@ -528,39 +528,89 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
     scan_fwd = max(1, int(sdf_h[live_ids].max())) if len(live_ids) else 1
     scan_bwd = max(1, int(sdb_h[live_ids].max())) if len(live_ids) else 1
 
-    def p2(first, km, sd, keyp):
+    return dict(
+        ftbl=ftbl, btbl=btbl,
+        fsc=dict(bp=f_bp, keyp=f_keyp, kmax=f_km, sdf=f_sf,
+                 first=f_first),
+        bsc=dict(bp=b_bp, keyp=b_keyp, kmax=b_km, sdb=b_sb,
+                 first=b_first),
+        cov_f=_covered(tile_h[live_ids], T),
+        cov_b=_covered(sg_h[live_ids], H // SR),
+        NCBf=fwd["NCB"], NCBb=bwd["NCB"],
+        scan_fwd=scan_fwd, scan_bwd=scan_bwd,
+        T=T, H=H, HI=HI, R=R)
+
+
+def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
+                        KD: int = 3, B: int = 32, chunk_multiple="auto",
+                        max_iter: int = 16, npad_multiple: int = 1 << 20):
+    """Build banded routing tables on the device holding ``lin``/``lens``.
+
+    Args:
+        lin: (R, M) packed voxel indices (device; int32).
+        lens: (R, M) segment lengths (device; zeros dropped here).
+        volume_size: V (or T·V for dynamic volumes).
+        G / SR / KD / B / chunk_multiple: as route.build_routed_tables /
+            route.band_pack (SR = rows per band = routed_band_rows).
+        npad_multiple: live-crossing padding granularity (compile-cache
+            bucketing; 1 = exact, used by the bit-parity tests).
+
+    Returns:
+        (ft, meta, btd, metab, helper): BandedDeviceFwd / BandedDeviceBwd
+        device tables + their RoutedMeta, plus a :class:`DevicePadHelper`
+        providing pad_density/unpad_density.
+    """
+    from .routed_project import (
+        BandedDeviceBwd,
+        BandedDeviceFwd,
+        RoutedMeta,
+    )
+
+    c = _banded_device_core(lin, lens, volume_size, G, SR, KD, B,
+                            chunk_multiple, max_iter, npad_multiple)
+    T, H, HI, R = c["T"], c["H"], c["HI"], c["R"]
+    ftbl, btbl, fsc, bsc = c["ftbl"], c["btbl"], c["fsc"], c["bsc"]
+
+    def p2(sc, sd_key):
         return jnp.asarray(
-            (first | (km << 4) | (sd << 8) | (keyp << 16)).astype(
-                np.int32))
+            (sc["first"] | (sc["kmax"] << 4) | (sc[sd_key] << 8)
+             | (sc["keyp"] << 16)).astype(np.int32))
 
     ft = BandedDeviceFwd(
         lvw=ftbl["lvw"], w=ftbl["w"], rposf=ftbl["rposf"],
-        src=ftbl["src"], hik=ftbl["hik"], bp=jnp.asarray(f_bp),
-        p2=p2(f_first, f_km, f_sf, f_keyp),
-        covered=jnp.asarray(_covered(tile_h[live_ids], T)))
-    meta = RoutedMeta(fwd["NCB"], SR * B, KD, G, HI, T, H, R,
-                      volume_size, scan_fwd, scan_bwd)
+        src=ftbl["src"], hik=ftbl["hik"], bp=jnp.asarray(fsc["bp"]),
+        p2=p2(fsc, "sdf"), covered=jnp.asarray(c["cov_f"]))
+    meta = RoutedMeta(c["NCBf"], SR * B, KD, G, HI, T, H, R,
+                      volume_size, c["scan_fwd"], c["scan_bwd"])
     btd = BandedDeviceBwd(
         rposb=btbl["rposb"], wp=btbl["wp"], lp8p=btbl["lp8p"],
         kcolp=btbl["kcolp"], hik=btbl["hik"], put=btbl["put"],
-        putv=btbl["putv"], bp=jnp.asarray(b_bp),
-        p2=p2(b_first, b_km, b_sb, b_keyp),
-        covered=jnp.asarray(_covered(sg_h[live_ids], H // SR)))
-    metab = RoutedMeta(bwd["NCB"], SR * B, KD, G, HI, T, H, R,
-                       volume_size, scan_fwd, scan_bwd)
+        putv=btbl["putv"], bp=jnp.asarray(bsc["bp"]),
+        p2=p2(bsc, "sdb"), covered=jnp.asarray(c["cov_b"]))
+    metab = RoutedMeta(c["NCBb"], SR * B, KD, G, HI, T, H, R,
+                       volume_size, c["scan_fwd"], c["scan_bwd"])
     return ft, meta, btd, metab, DevicePadHelper(H, volume_size)
 
 
-def _empty_banded_device(SR, KD, G, HI, T, H, R, volume_size, B,
-                         chunk_multiple):
-    """All-dummy device tables for an empty problem (no live crossings):
-    reuse the host empty-band construction and upload (it is KB-scale)."""
+def _empty_core(SR, KD, G, HI, T, H, R, volume_size, B, chunk_multiple):
+    """Raw pieces of all-dummy tables for an empty shard (no live
+    crossings): reuse the host empty-band construction (KB-scale)."""
     from .route import _empty_banded, _empty_tables
-    from .routed_project import banded_device_bwd, banded_device_fwd
 
     rt = _empty_tables(SR, KD, G, HI, T, H, R, volume_size)
     btF = _empty_banded(rt, B, "tile", chunk_multiple)
     btB = _empty_banded(rt, B, "window", chunk_multiple)
-    ft, meta = banded_device_fwd(btF)
-    btd, metab = banded_device_bwd(btB)
-    return ft, meta, btd, metab, DevicePadHelper(H, volume_size)
+    return dict(
+        ftbl={k: jnp.asarray(getattr(btF, k))
+              for k in ("lvw", "w", "rposf", "src", "hik")},
+        btbl={k: jnp.asarray(getattr(btB, k))
+              for k in ("rposb", "wp", "lp8p", "kcolp", "put", "putv",
+                        "hik")},
+        fsc=dict(bp=btF.bp, keyp=btF.keyp, kmax=btF.kmax, sdf=btF.sdf,
+                 first=btF.first),
+        bsc=dict(bp=btB.bp, keyp=btB.keyp, kmax=btB.kmax, sdb=btB.sdb,
+                 first=btB.first),
+        cov_f=btF.covered, cov_b=btB.covered,
+        NCBf=btF.NCB, NCBb=btB.NCB,
+        scan_fwd=btF.scan_fwd, scan_bwd=btB.scan_bwd,
+        T=T, H=H, HI=HI, R=R)

@@ -403,6 +403,116 @@ def banded_shard_local(lin_h, lens_h, volume_size: int, tiles_per: int,
     return ft, bt
 
 
+def build_banded_device_shards(lin, lens, volume_size: int,
+                               n_devices: int, G: int, SR: int = 8,
+                               KD: int = 3, B: int = 32,
+                               chunk_multiple: int = 256,
+                               npad_multiple: int = 1 << 20,
+                               tiles_per: int = None, n_rays: int = None):
+    """Per-device banded tables built ON THE DEVICE holding the trace.
+
+    The sharded analog of :func:`~..ops.route_device.build_banded_device`
+    (which covers single-device Operators): slice the traced crossing
+    tables by tile-aligned ray ranges, run the device-routing core per
+    shard, pad every shard to common superchunk counts, and stack on a
+    leading device axis — the same stacked dicts / metas
+    :func:`shard_banded_tables` produces from the host router, with no
+    host routing pass and no table upload.  Given ``npad_multiple=1`` the
+    result is byte-identical to the host path (routing is local to a
+    (tile, density-window) group — see :func:`banded_shard_local`).
+
+    Args:
+        lin / lens: (R, M) traced crossing tables (device arrays).
+        tiles_per / n_rays: externally-agreed tile range per device and
+            global ray count (multi-host callers pass the global values;
+            default = derived from ``lin`` over ``n_devices``).
+
+    Returns (fwd stacked dict, bwd stacked dict, meta_fwd, meta_bwd,
+    :class:`~..ops.route_device.DevicePadHelper`) — table values are
+    device arrays on the build device; place them with
+    :func:`put_sharded_tables` / :func:`put_sharded_tables_multihost`.
+    """
+    from ..ops.route_device import DevicePadHelper, _banded_device_core
+
+    R = lin.shape[0] if n_rays is None else n_rays
+    D = n_devices
+    if tiles_per is None:
+        T = -(-R // G)
+        tiles_per = -(-T // D)
+    rays_per = tiles_per * G
+
+    from ..ops.route_device import _empty_core
+
+    H_rows = _round_up_mult(max(1, -(-volume_size // 128)), SR)
+    cores = []
+    for d in range(D):
+        lo = min(d * rays_per, lin.shape[0])
+        hi = min((d + 1) * rays_per, lin.shape[0])
+        if hi <= lo:  # past the last real ray: all-dummy shard
+            cores.append(_empty_core(
+                SR, KD, G, G // 128, tiles_per, H_rows, 0, volume_size,
+                B, 1))
+            continue
+        cores.append(_banded_device_core(
+            lin[lo:hi], lens[lo:hi], volume_size, G=G, SR=SR, KD=KD, B=B,
+            chunk_multiple=1, npad_multiple=npad_multiple, T=tiles_per))
+
+    NCf = _round_up_mult(max(c["NCBf"] for c in cores), chunk_multiple)
+    NCb = _round_up_mult(max(c["NCBb"] for c in cores), chunk_multiple)
+    sf = max(c["scan_fwd"] for c in cores)
+    sb = max(c["scan_bwd"] for c in cores)
+    H, HI = cores[0]["H"], cores[0]["HI"]
+
+    def pad_rows(a, n_rows, fill=0):
+        e = n_rows - a.shape[-2]
+        if e <= 0:
+            return a
+        pad_shape = a.shape[:-2] + (e, a.shape[-1])
+        return jnp.concatenate(
+            [a, jnp.full(pad_shape, fill, a.dtype)], axis=-2)
+
+    def pad_sc(sc, NCB, sd_key):
+        """Per-superchunk scalars padded like route._pad_banded: keyp
+        carries the last key forward, everything else zero-fills."""
+        e = NCB - len(sc["keyp"])
+        if e <= 0:
+            return {k: np.asarray(v) for k, v in sc.items()}
+        out = {}
+        out["bp"] = np.concatenate(
+            [sc["bp"], np.zeros((B, e), sc["bp"].dtype)], axis=1)
+        last_key = sc["keyp"][-1] if len(sc["keyp"]) else 0
+        out["keyp"] = np.concatenate(
+            [sc["keyp"], np.full(e, last_key, sc["keyp"].dtype)])
+        for k in ("kmax", sd_key, "first"):
+            out[k] = np.concatenate(
+                [sc[k], np.zeros(e, sc[k].dtype)])
+        return out
+
+    fstk, bstk = {}, {}
+    for key in ("lvw", "w", "rposf", "src", "hik"):
+        fill = -1 if key == "hik" else 0
+        fstk[key] = jnp.stack(
+            [pad_rows(c["ftbl"][key], NCf * B * SR, fill) for c in cores])
+    for key in ("rposb", "wp", "lp8p", "kcolp", "put", "putv", "hik"):
+        fill = -1 if key == "hik" else 0
+        bstk[key] = jnp.stack(
+            [pad_rows(c["btbl"][key], NCb * B * SR, fill) for c in cores])
+    fscs = [pad_sc(c["fsc"], NCf, "sdf") for c in cores]
+    bscs = [pad_sc(c["bsc"], NCb, "sdb") for c in cores]
+    for key in ("bp", "keyp", "kmax", "sdf", "first"):
+        fstk[key] = jnp.asarray(np.stack([s[key] for s in fscs]))
+    for key in ("bp", "keyp", "kmax", "sdb", "first"):
+        bstk[key] = jnp.asarray(np.stack([s[key] for s in bscs]))
+    fstk["covered"] = jnp.asarray(np.stack([c["cov_f"] for c in cores]))
+    bstk["covered"] = jnp.asarray(np.stack([c["cov_b"] for c in cores]))
+
+    mf = RoutedMeta(NCf, SR * B, KD, G, HI, tiles_per, H, R,
+                    volume_size, sf, sb)
+    mb = RoutedMeta(NCb, SR * B, KD, G, HI, tiles_per, H, R,
+                    volume_size, sf, sb)
+    return fstk, bstk, mf, mb, DevicePadHelper(H, volume_size)
+
+
 def put_sharded_tables_multihost(local_fstk: dict, mesh: Mesh,
                                  axis: str = RAY_AXIS):
     """Place per-process table stacks as globally-sharded arrays.

@@ -279,6 +279,15 @@ class ShardedOperator(Operator):
             self._use_pallas = jax.default_backend() == "tpu"
             self._build_banded_process_local()
             return
+        if (cfg.routed_banded and self._use_device_router()
+                and (jax.default_backend() == "tpu" or cfg.interpret)):
+            # single-process device build: route each shard ON the
+            # accelerator (no host router, no table upload), then place
+            # the stacked tables over the mesh — the sharded analog of
+            # Operator._build_routed_device
+            self._use_pallas = jax.default_backend() == "tpu"
+            self._build_sharded_routed_device()
+            return
         lin, lens, n, _ = self._traced_tables(device=False)
         lin, lens = lin[:n], lens[:n]
         lin_h = getattr(self, "_lin_host", None)
@@ -317,6 +326,46 @@ class ShardedOperator(Operator):
         self._sharded_routed = True
         # keep host mirrors for .T / debugging
         self.lin, self.lens = lin, lens
+
+    def _build_sharded_routed_device(self):
+        """Banded table shards built on the accelerator
+        (ops/route_device.py core per tile range) and placed over the
+        mesh — byte-identical tables to :func:`shard_banded_tables`
+        given the same trace (tested at ``npad_multiple=1``)."""
+        import os
+        import time
+
+        from .routed_sharded import (
+            build_banded_device_shards,
+            put_sharded_tables,
+        )
+
+        cfg = self.config
+        timing = os.environ.get("SPH_TPU_TIMING")
+        lin, lens, n, _ = self._traced_tables_device()
+        lin, lens = self._apply_offsets(lin[:n], lens[:n])
+        t0 = time.time()
+        D = int(self.mesh.devices.size)
+        fstk, bstk, mf, mb, helper = build_banded_device_shards(
+            lin, lens, self._flat_size, D, G=cfg.routed_g,
+            SR=cfg.routed_band_rows, KD=cfg.routed_kd,
+            B=cfg.routed_bands)
+        del lin, lens
+        if timing:
+            import sys
+
+            from ..utils.profiling import fetch_sync
+
+            fetch_sync(fstk["w"])
+            print(f"[timing] sharded device router {time.time() - t0:.1f}s"
+                  f" (NCB={mf.NC}/{mb.NC}, D={D})", file=sys.stderr)
+        self._sb_ft = put_sharded_tables(fstk, self.mesh)
+        self._sb_bt = put_sharded_tables(bstk, self.mesh)
+        self._sb_meta, self._sb_metab = mf, mb
+        self._sb_B = cfg.routed_bands
+        self._sb_rt8 = helper
+        self._sharded_routed = "banded"
+        self.lin = self.lens = None
 
     def _build_banded_process_local(self):
         """Multi-host banded-table build (SURVEY §7 "multi-host input

@@ -162,3 +162,77 @@ def test_device_router_empty():
         jnp.asarray(lin), jnp.asarray(lens), 64, G=G, SR=SR, KD=KD, B=B,
         chunk_multiple=CM)
     assert int(np.asarray(ft.w).sum()) == 0
+
+
+def test_sharded_device_build_bit_identical(setup):
+    """build_banded_device_shards (npad_multiple=1) matches the host
+    shard_banded_tables stacks byte-for-byte, shard by shard."""
+    from sph_raytracer_tpu.parallel.routed_sharded import (
+        build_banded_device_shards,
+        shard_banded_tables,
+    )
+
+    grid, geom, lin, lens, op = setup
+    V = int(np.prod(grid.vshape))
+    D = 2
+    rt8 = build_routed_tables(lin, lens, V, G=G, SR=SR, KD=KD)
+    fstkH, bstkH, mfH, mbH = shard_banded_tables(
+        rt8, D, B=B, chunk_multiple=CM)
+    fstk, bstk, mf, mb, helper = build_banded_device_shards(
+        jnp.asarray(lin), jnp.asarray(lens), V, D, G=G, SR=SR, KD=KD,
+        B=B, chunk_multiple=CM, npad_multiple=1)
+    assert mf == mfH and mb == mbH
+    assert sorted(fstk) == sorted(fstkH) and sorted(bstk) == sorted(bstkH)
+    for which, dev, host in (("fwd", fstk, fstkH), ("bwd", bstk, bstkH)):
+        for k in host:
+            av, bv = np.asarray(dev[k]), np.asarray(host[k])
+            assert av.shape == bv.shape, (which, k, av.shape, bv.shape)
+            assert np.array_equal(av, bv), (
+                which, k, np.argwhere(av != bv)[:5])
+    assert helper.H == mfH.H and helper.volume_size == V
+
+
+def test_sharded_device_build_empty_shards(setup):
+    """More devices than ray tiles: trailing shards are all-dummy but the
+    stacked build still projects correctly (padded npad, D=4 over T=2)."""
+    from sph_raytracer_tpu.parallel.routed_sharded import (
+        build_banded_device_shards,
+    )
+    from sph_raytracer_tpu.ops.routed_project import banded_project
+    from sph_raytracer_tpu.ops.routed_project import RoutedMeta  # noqa
+
+    grid, geom, lin, lens, op = setup
+    V = int(np.prod(grid.vshape))
+    D = 4
+    fstk, bstk, mf, mb, helper = build_banded_device_shards(
+        jnp.asarray(lin), jnp.asarray(lens), V, D, G=G, SR=SR, KD=KD,
+        B=B, chunk_multiple=CM, npad_multiple=4096)
+    # simulate the per-shard kernels without a mesh: loop device rows
+    from sph_raytracer_tpu.ops.routed_project import (
+        BandedDeviceFwd,
+        BandedDeviceBwd,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(5).random(tuple(grid.shape)), jnp.float32)
+    d2 = helper.pad_density(x.reshape(-1))
+    outs = []
+    for d in range(D):
+        p2f = (fstk["first"][d] | (fstk["kmax"][d] << 4)
+               | (fstk["sdf"][d] << 8) | (fstk["keyp"][d] << 16))
+        ft = BandedDeviceFwd(
+            lvw=fstk["lvw"][d], w=fstk["w"][d], rposf=fstk["rposf"][d],
+            src=fstk["src"][d], hik=fstk["hik"][d], bp=fstk["bp"][d],
+            p2=p2f.astype(jnp.int32), covered=fstk["covered"][d])
+        p2b = (bstk["first"][d] | (bstk["kmax"][d] << 4)
+               | (bstk["sdb"][d] << 8) | (bstk["keyp"][d] << 16))
+        btd = BandedDeviceBwd(
+            rposb=bstk["rposb"][d], wp=bstk["wp"][d],
+            lp8p=bstk["lp8p"][d], kcolp=bstk["kcolp"][d],
+            hik=bstk["hik"][d], put=bstk["put"][d], putv=bstk["putv"][d],
+            bp=bstk["bp"][d], p2=p2b.astype(jnp.int32),
+            covered=bstk["covered"][d])
+        y = banded_project(d2, ft, btd, mf, mb, B, True)
+        outs.append(np.asarray(y).reshape(-1))
+    y_all = np.concatenate(outs)[: int(np.prod(geom.shape))]
+    ref = np.asarray(op(x)).reshape(-1)
+    assert np.allclose(y_all, ref, atol=1e-5), np.abs(y_all - ref).max()

@@ -339,3 +339,26 @@ def test_sharded_view_times(setup):
                             view_times=times)
     assert np.allclose(np.asarray(sop_l(v32)), np.asarray(sop_r(v32)),
                        atol=1e-6)
+
+
+def test_sharded_device_build_matches_host_build(setup):
+    """routed_build='device' ShardedOperator (device-routing core per
+    shard) matches the host-built banded sharded engine and the
+    single-device operator for forward, gradient (psum), and adjoint."""
+    grid, geom, op, x = setup
+    from sph_raytracer_tpu.config import TraceConfig
+
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_build="device")
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    assert sop._sharded_routed == "banded" and sop.lin is None
+    x32 = x.astype(jnp.float32)
+    op32 = Operator(grid, geom)
+    assert np.allclose(np.asarray(sop(x32)), np.asarray(op32(x32)),
+                       atol=1e-4)
+    y = op32(x32)
+    g_ref = jax.grad(lambda d: jnp.mean((op32(d) - y) ** 2))(x32)
+    g_sh = jax.grad(lambda d: jnp.mean((sop(d) - y) ** 2))(x32)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4)
+    assert np.allclose(np.asarray(sop.T(y)), np.asarray(op32.T(y)),
+                       atol=1e-4)
