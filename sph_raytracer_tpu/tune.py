@@ -88,8 +88,10 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
             (default :data:`DEFAULT_CANDIDATES`).
         config: base config; tuned fields are replaced.
         iters: timing iterations per candidate (slope timing).
-        cache: persist/reuse the result (JSON beside the trace cache,
-            or ``~/.cache/sph_raytracer_tpu`` when no trace cache is set).
+        cache: persist/reuse the result (JSON in ``SPH_TPU_TUNE_CACHE``,
+            default ``~/.cache/sph_raytracer_tpu`` — NOT the trace cache:
+            that often lives on RAM-backed storage and a reboot must not
+            lose measured layouts, only re-derivable bulk data).
         cached_only: never measure — return the cached result if one
             exists, else the base config unchanged.  Lets latency-bounded
             callers (benchmarks, serving startup) opportunistically use a
@@ -114,15 +116,30 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
     candidates = list(candidates or DEFAULT_CANDIDATES)
 
     backend = jax.default_backend()
-    cdir = os.environ.get("SPH_TPU_TRACE_CACHE") or os.path.expanduser(
+    cdir = os.environ.get("SPH_TPU_TUNE_CACHE") or os.path.expanduser(
         "~/.cache/sph_raytracer_tpu")
-    cpath = os.path.join(cdir, f"tune_{_sig(grid, geom, backend, base)}.json")
-    if cache and os.path.exists(cpath):
-        with open(cpath) as fh:
+    fname = f"tune_{_sig(grid, geom, backend, base)}.json"
+    cpath = os.path.join(cdir, fname)
+    read_path = cpath
+    if cache and not os.path.exists(read_path):
+        # accept sidecars written by older versions into the trace-cache
+        # dir (often RAM-backed — wiped on reboot — hence the move)
+        legacy_dir = os.environ.get("SPH_TPU_TRACE_CACHE")
+        if legacy_dir and os.path.exists(os.path.join(legacy_dir, fname)):
+            read_path = os.path.join(legacy_dir, fname)
+    if cache and os.path.exists(read_path):
+        with open(read_path) as fh:
             saved = json.load(fh)
         fields = saved.get("fields") or {
             "routed_bands": int(saved["bands"]),
             "routed_band_rows": int(saved["band_rows"])}
+        if read_path != cpath:  # migrate legacy sidecar to persistent dir
+            try:
+                os.makedirs(cdir, exist_ok=True)
+                with open(cpath, "w") as fh:
+                    json.dump(saved, fh)
+            except OSError:
+                pass
         if verbose:
             print(f"[autotune] cached: {fields}", file=sys.stderr)
         return base.replace(**fields)

@@ -143,7 +143,7 @@ def test_autotune_mechanics(tmp_path, monkeypatch):
     from sph_raytracer_tpu import (ConeRectGeom, Operator, SphericalGrid,
                                    TraceConfig, autotune)
 
-    monkeypatch.setenv("SPH_TPU_TRACE_CACHE", str(tmp_path))
+    monkeypatch.setenv("SPH_TPU_TUNE_CACHE", str(tmp_path))
     grid = SphericalGrid(shape=(8, 8, 8), size_r=(1, 4))
     geom = ConeRectGeom((6, 8), (8, 0.5, 0.2), fov=(35, 35))
     base = TraceConfig(interpret=True, routed_g=128)
@@ -170,3 +170,19 @@ def test_autotune_mechanics(tmp_path, monkeypatch):
                     jnp.float32)
     op0 = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
     assert np.allclose(np.asarray(op(x)), np.asarray(op0(x)), atol=1e-4)
+
+    # legacy sidecars in the (RAM-backed) trace-cache dir are still read,
+    # and migrated into the persistent tune dir on first hit
+    legacy = tmp_path / "legacy"
+    fresh = tmp_path / "fresh"
+    legacy.mkdir()
+    fresh.mkdir()
+    import shutil
+    name = next(f for f in os.listdir(tmp_path) if f.startswith("tune_"))
+    shutil.move(str(tmp_path / name), str(legacy / name))
+    monkeypatch.setenv("SPH_TPU_TUNE_CACHE", str(fresh))
+    monkeypatch.setenv("SPH_TPU_TRACE_CACHE", str(legacy))
+    cfg5 = autotune(grid, geom, config=base, cached_only=True)
+    assert (cfg5.routed_bands, cfg5.routed_band_rows) == \
+        (cfg.routed_bands, cfg.routed_band_rows)
+    assert (fresh / name).exists()
