@@ -207,6 +207,15 @@ class Operator:
                           "falling back to mode='precomputed'")
             mode = "precomputed"
         self._mode = mode
+        # voxel linearization of the routed tables (config docstring):
+        # purely an internal table/density layout — the public surface
+        # (density argument, lin/lens mirrors, debug) stays canonical
+        if config.routed_voxel_order not in ("a", "r"):
+            raise ValueError(
+                f"routed_voxel_order={config.routed_voxel_order!r} "
+                "(want 'a' or 'r')")
+        self._vorder = (config.routed_voxel_order if mode == "routed"
+                        else "a")
 
         if debug:
             # integrated per-LOS debug printout (reference
@@ -473,10 +482,13 @@ class Operator:
         from .ops.route_device import build_banded_device
         from .ops.routed_project import _bwd_banded_pallas, banded_project
 
+        from .ops.trace import voxel_order_lin
+
         cfg = self.config
         timing = os.environ.get("SPH_TPU_TIMING")
         t0 = time.time()
         B = cfg.routed_bands
+        lin = voxel_order_lin(lin, self.grid.vshape, self._vorder)
         ft, meta, btd, metab, helper = build_banded_device(
             lin, lens, self._flat_size, G=cfg.routed_g,
             SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B,
@@ -493,11 +505,14 @@ class Operator:
         self._dt = (ft, btd)
         self._rmeta, self._rmeta_bwd = meta, metab
         interp = bool(cfg.interpret) or jax.default_backend() != "tpu"
+        from .ops.trace import voxel_order_flat, voxel_order_unflat
+
+        vshape, vo = tuple(self.grid.vshape), self._vorder
 
         @jax.jit
         def fwd_one(flat, dt):
             ft, btd = dt
-            d2 = helper.pad_density(flat)
+            d2 = helper.pad_density(voxel_order_flat(flat, vshape, vo))
             y = banded_project(d2, ft, btd, meta, metab, B, interp)
             return y.reshape(-1)[: meta.n_rays]
 
@@ -509,7 +524,7 @@ class Operator:
                 [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
                     meta.T, meta.HI, 128)
             d2 = _bwd_banded_pallas(yt, btd, metab, B, interpret=interp)
-            return helper.unpad_density(d2)
+            return voxel_order_unflat(helper.unpad_density(d2), vshape, vo)
 
         self._routed = fwd_one
         self._routed_adj = adj_one
@@ -531,6 +546,9 @@ class Operator:
         lens_h = getattr(self, "_lens_host", None)
         if lin_h is None or lin_h.shape != self.lin.shape:
             lin_h, lens_h = np.asarray(self.lin), np.asarray(self.lens)
+        from .ops.trace import voxel_order_lin
+
+        lin_h = voxel_order_lin(lin_h, self.grid.vshape, self._vorder)
         if timing:
             import sys
 
@@ -565,10 +583,13 @@ class Operator:
             fetch_sync(dt.w)  # block_until_ready lies through the relay
             print(f"[timing] upload {time.time() - t0:.1f}s", file=sys.stderr)
         self._rt, self._dt, self._rmeta = rt, dt, meta
+        from .ops.trace import voxel_order_flat, voxel_order_unflat
+
+        vshape, vo = tuple(self.grid.vshape), self._vorder
 
         @jax.jit
         def fwd_one(flat, dt):
-            d2 = rt.pad_density(flat)
+            d2 = rt.pad_density(voxel_order_flat(flat, vshape, vo))
             y = routed_project(d2, dt, meta, use_pallas)
             return y.reshape(-1)[: meta.n_rays]
 
@@ -585,7 +606,7 @@ class Operator:
                     meta.T, meta.HI, 128)
             d2 = (_bwd_pallas(yt, dt, meta) if use_pallas
                   else routed_backproject_ref(yt, dt, meta))
-            return rt.unpad_density(d2)
+            return voxel_order_unflat(rt.unpad_density(d2), vshape, vo)
 
         self._routed = fwd_one
         self._routed_adj = adj_one
@@ -621,10 +642,11 @@ class Operator:
                 th.update(np.ascontiguousarray(self._time_off2).tobytes())
                 th.update(np.ascontiguousarray(self._time_w).tobytes())
             tkey = f"{self._flat_size}-{th.hexdigest()[:16]}"
+        vtag = "" if self._vorder == "a" else f"/vo-{self._vorder}"
         cache = self._trace_cache_path(
             suffix=f"banded/{cfg.routed_g}/{cfg.routed_band_rows}/"
                    f"{cfg.routed_kd}/{B}/{cfg.routed_chunk_multiple}/"
-                   f"{tkey}")
+                   f"{tkey}{vtag}")
         import os
 
         if cache is not None and os.path.exists(cache):
@@ -668,11 +690,14 @@ class Operator:
         self._rt, self._dt, self._rmeta = btF, (ft, btd), meta
         self._rmeta_bwd = metab
         interp = bool(cfg.interpret)
+        from .ops.trace import voxel_order_flat, voxel_order_unflat
+
+        vshape, vo = tuple(self.grid.vshape), self._vorder
 
         @jax.jit
         def fwd_one(flat, dt):
             ft, btd = dt
-            d2 = btF.pad_density(flat)
+            d2 = btF.pad_density(voxel_order_flat(flat, vshape, vo))
             y = banded_project(d2, ft, btd, meta, metab, B, interp)
             return y.reshape(-1)[: meta.n_rays]
 
@@ -684,7 +709,7 @@ class Operator:
                 [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
                     meta.T, meta.HI, 128)
             d2 = _bwd_banded_pallas(yt, btd, metab, B, interpret=interp)
-            return btF.unpad_density(d2)
+            return voxel_order_unflat(btF.unpad_density(d2), vshape, vo)
 
         self._routed = fwd_one
         self._routed_adj = adj_one

@@ -42,7 +42,8 @@ from .intersect import (
 )
 
 __all__ = ["GridSpec", "trace_crossings", "trace_crossings_ranked",
-           "forward_fill", "pack_linear"]
+           "forward_fill", "pack_linear", "voxel_order_lin",
+           "voxel_order_flat", "voxel_order_unflat"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -286,6 +287,53 @@ def trace_crossings_ranked(gs: GridSpec, xs, rays, itype=jnp.int32,
                                 platform=platform)
     lens = jnp.where(valid, lens_raw, 0.0)
     return regs, lens, ts
+
+
+def voxel_order_lin(lin, vshape, order: str):
+    """Relabel packed voxel ids from the canonical azimuth-innermost
+    C-order (:func:`pack_linear`) into ``order``'s linearization.
+
+    ``order='r'`` is radius-innermost: ``v' = (e·na + a)·nr + r``.  4D ids
+    (``t·V`` offsets already added) are relabelled per time slice.  Works
+    on numpy and jax arrays alike; a no-op for ``order='a'``.
+    """
+    if order == "a":
+        return lin
+    if order != "r":
+        raise ValueError(f"unknown voxel order {order!r} (want 'a' or 'r')")
+    nr, ne, na = (int(s) for s in vshape)
+    V = nr * ne * na
+    t = lin // V
+    v = lin - t * V
+    r = v // (ne * na)
+    rem = v - r * (ne * na)
+    return (t * V + rem * nr + r).astype(lin.dtype)
+
+
+def voxel_order_flat(flat, vshape, order: str):
+    """Reorder a ``(..., T·V)`` flat density from canonical order into
+    ``order``'s linearization — a transpose (one XLA copy), never a
+    gather.  Inverse: :func:`voxel_order_unflat`."""
+    if order == "a":
+        return flat
+    nr, ne, na = (int(s) for s in vshape)
+    lead = flat.shape[:-1]
+    T = flat.shape[-1] // (nr * ne * na)
+    x = flat.reshape(*lead, T, nr, ne, na)
+    x = jnp.moveaxis(x, -3, -1)  # (..., T, ne, na, nr)
+    return x.reshape(*lead, flat.shape[-1])
+
+
+def voxel_order_unflat(flat, vshape, order: str):
+    """Inverse of :func:`voxel_order_flat`."""
+    if order == "a":
+        return flat
+    nr, ne, na = (int(s) for s in vshape)
+    lead = flat.shape[:-1]
+    T = flat.shape[-1] // (nr * ne * na)
+    x = flat.reshape(*lead, T, ne, na, nr)
+    x = jnp.moveaxis(x, -1, -3)  # (..., T, nr, ne, na)
+    return x.reshape(*lead, flat.shape[-1])
 
 
 def pack_linear(regs, gs: GridSpec, itype=jnp.int32):

@@ -298,6 +298,9 @@ class ShardedOperator(Operator):
             lin_h = self._lin_host[:n]
             lens_h = self._lens_host[:n]
         lin_h, lens_h = self._apply_offsets(lin_h, lens_h)
+        from ..ops.trace import voxel_order_lin
+
+        lin_h = voxel_order_lin(lin_h, self.grid.vshape, self._vorder)
         D = int(self.mesh.devices.size)
         self._use_pallas = jax.default_backend() == "tpu"
         if cfg.routed_banded and (self._use_pallas or cfg.interpret):
@@ -344,6 +347,9 @@ class ShardedOperator(Operator):
         timing = os.environ.get("SPH_TPU_TIMING")
         lin, lens, n, _ = self._traced_tables_device()
         lin, lens = self._apply_offsets(lin[:n], lens[:n])
+        from ..ops.trace import voxel_order_lin
+
+        lin = voxel_order_lin(lin, self.grid.vshape, self._vorder)
         t0 = time.time()
         D = int(self.mesh.devices.size)
         fstk, bstk, mf, mb, helper = build_banded_device_shards(
@@ -440,6 +446,10 @@ class ShardedOperator(Operator):
                 if has_offs:
                     lin_d, lens_d = self._apply_offsets(
                         lin_d, lens_d, rows=slice(lo, hi))
+                from ..ops.trace import voxel_order_lin
+
+                lin_d = voxel_order_lin(lin_d, self.grid.vshape,
+                                        self._vorder)
             ft, bt = banded_shard_local(
                 lin_d, lens_d, self._flat_size, tiles_per,
                 G=G, SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B)
@@ -508,11 +518,13 @@ class ShardedOperator(Operator):
         flat2 = density.reshape(-1, self._flat_size)
 
         if self._sharded_routed == "banded":
+            from ..ops.trace import voxel_order_flat
             from .routed_sharded import sharded_banded_project
 
             outs = []
             for i in range(flat2.shape[0]):
-                d2 = self._sb_rt8.pad_density(flat2[i])
+                d2 = self._sb_rt8.pad_density(voxel_order_flat(
+                    flat2[i], self.grid.vshape, self._vorder))
                 y = sharded_banded_project(
                     self.mesh, self._sb_ft, self._sb_bt, self._sb_meta,
                     self._sb_metab, self._sb_B, d2,
@@ -520,12 +532,14 @@ class ShardedOperator(Operator):
                 outs.append(y.reshape(-1)[: self._nrays])
             out = jnp.stack(outs)
         elif self._sharded_routed:
+            from ..ops.trace import voxel_order_flat
             from .routed_sharded import sharded_routed_project
 
             rt, meta = self._srt_rt, self._srt_meta
             outs = []
             for i in range(flat2.shape[0]):
-                d2 = rt.pad_density(flat2[i])
+                d2 = rt.pad_density(voxel_order_flat(
+                    flat2[i], self.grid.vshape, self._vorder))
                 y = sharded_routed_project(
                     self.mesh, self._srt_tables, meta, d2, self._use_pallas)
                 outs.append(y.reshape(-1)[: self._nrays])
@@ -562,7 +576,11 @@ class ShardedOperator(Operator):
                 d2 = sharded_banded_backproject(
                     self.mesh, self._sb_bt, meta, self._sb_B, yf,
                     interpret=bool(self.config.interpret))
-                outs.append(self._sb_rt8.unpad_density(d2))
+                from ..ops.trace import voxel_order_unflat
+
+                outs.append(voxel_order_unflat(
+                    self._sb_rt8.unpad_density(d2), self.grid.vshape,
+                    self._vorder))
             return jnp.stack(outs).reshape(*chan, *self.grid.shape)
         if self._sharded_routed:
             from ..ops.route import LANES
@@ -578,7 +596,10 @@ class ShardedOperator(Operator):
                 ).reshape(D * meta.T, meta.HI, LANES)
                 d2 = sharded_routed_backproject(
                     self.mesh, self._srt_tables, meta, yf, self._use_pallas)
-                outs.append(rt.unpad_density(d2))
+                from ..ops.trace import voxel_order_unflat
+
+                outs.append(voxel_order_unflat(
+                    rt.unpad_density(d2), self.grid.vshape, self._vorder))
             return jnp.stack(outs).reshape(*chan, *self.grid.shape)
         pad = self._xs.shape[0] - self._nrays
         if pad:
