@@ -104,6 +104,17 @@ class TraceConfig:
     # f32 engine, host otherwise.  Device-built tables are byte-identical
     # to host-built ones (tested).
     routed_build: str = "auto"
+    # dense-slot banded layouts (route.band_pack_dense): 'auto' enables
+    # the dense FORWARD (slot = density window; the band windows become
+    # one resident (H,128) input — no per-band window DMAs) whenever the
+    # density has ≤1024 rows, and the dense BACKWARD (slot = ray tile;
+    # the whole dy array becomes one resident input — no per-band dy
+    # blocks re-fetched per (tile, window) pair) whenever the tile count
+    # is ≤96.  'off' keeps the classic pointer-banded kernels; 'fwd' /
+    # 'bwd' / 'both' force sides (still envelope-clamped).  Dense slots
+    # pay dummy table rows for (tile, window) pairs with no crossings —
+    # orbit tomography geometries are ~100% dense.
+    routed_dense: str = "auto"
     # voxel linearization the ROUTED engine's tables are built in: 'a' =
     # the canonical azimuth-innermost C-order of (r, e, a) — the
     # reference's layout; 'r' = radius-innermost ((e, a, r) C-order).

@@ -489,10 +489,17 @@ class Operator:
         t0 = time.time()
         B = cfg.routed_bands
         lin = voxel_order_lin(lin, self.grid.vshape, self._vorder)
+        from .ops.route import _round_up
+
+        Tt = -(-self._nrays // cfg.routed_g)
+        Hh = _round_up(max(1, -(-self._flat_size // 128)),
+                       cfg.routed_band_rows)
+        df, db = _resolve_dense(cfg, Tt, Hh, cfg.routed_band_rows)
         ft, meta, btd, metab, helper = build_banded_device(
             lin, lens, self._flat_size, G=cfg.routed_g,
             SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B,
-            chunk_multiple=cfg.routed_chunk_multiple)
+            chunk_multiple=cfg.routed_chunk_multiple,
+            dense_fwd=df, dense_bwd=db)
         if timing:
             import sys
 
@@ -504,16 +511,20 @@ class Operator:
         self._rt = helper
         self._dt = (ft, btd)
         self._rmeta, self._rmeta_bwd = meta, metab
+        self._dense = (df, db)
         interp = bool(cfg.interpret) or jax.default_backend() != "tpu"
+        from .ops.routed_project import _bwd_banded_dense_pallas
         from .ops.trace import voxel_order_flat, voxel_order_unflat
 
         vshape, vo = tuple(self.grid.vshape), self._vorder
+        SRb = cfg.routed_band_rows
 
         @jax.jit
         def fwd_one(flat, dt):
             ft, btd = dt
             d2 = helper.pad_density(voxel_order_flat(flat, vshape, vo))
-            y = banded_project(d2, ft, btd, meta, metab, B, interp)
+            y = banded_project(d2, ft, btd, meta, metab, B, interp,
+                               df, db, SRb)
             return y.reshape(-1)[: meta.n_rays]
 
         @jax.jit
@@ -523,7 +534,10 @@ class Operator:
             yt = jnp.concatenate(
                 [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
                     meta.T, meta.HI, 128)
-            d2 = _bwd_banded_pallas(yt, btd, metab, B, interpret=interp)
+            d2 = (_bwd_banded_dense_pallas(yt, btd, metab, SRb,
+                                           interpret=interp) if db
+                  else _bwd_banded_pallas(yt, btd, metab, B,
+                                          interpret=interp))
             return voxel_order_unflat(helper.unpad_density(d2), vshape, vo)
 
         self._routed = fwd_one
@@ -642,7 +656,15 @@ class Operator:
                 th.update(np.ascontiguousarray(self._time_off2).tobytes())
                 th.update(np.ascontiguousarray(self._time_w).tobytes())
             tkey = f"{self._flat_size}-{th.hexdigest()[:16]}"
+        from .ops.route import _round_up
+
+        Tt = -(-self._nrays // cfg.routed_g)
+        Hh = _round_up(max(1, -(-self._flat_size // 128)),
+                       cfg.routed_band_rows)
+        df, db = _resolve_dense(cfg, Tt, Hh, cfg.routed_band_rows)
         vtag = "" if self._vorder == "a" else f"/vo-{self._vorder}"
+        if df or db:
+            vtag += f"/dense-{int(df)}{int(db)}"
         cache = self._trace_cache_path(
             suffix=f"banded/{cfg.routed_g}/{cfg.routed_band_rows}/"
                    f"{cfg.routed_kd}/{B}/{cfg.routed_chunk_multiple}/"
@@ -659,13 +681,23 @@ class Operator:
                 print(f"[timing] banded-table cache hit "
                       f"{time.time() - t0:.1f}s", file=sys.stderr)
         else:
+            from .ops.route import band_pack_dense
+
             rt8 = build_routed_tables(
                 lin_h, lens_h, self._flat_size,
                 G=cfg.routed_g, SR=cfg.routed_band_rows, KD=cfg.routed_kd)
-            btF = band_pack(rt8, B=B, by="tile",
-                            chunk_multiple=cfg.routed_chunk_multiple)
-            btB = band_pack(rt8, B=B, by="window",
-                            chunk_multiple=cfg.routed_chunk_multiple)
+            btF = (band_pack_dense(
+                       rt8, by="tile",
+                       chunk_multiple=cfg.routed_chunk_multiple) if df
+                   else band_pack(
+                       rt8, B=B, by="tile",
+                       chunk_multiple=cfg.routed_chunk_multiple))
+            btB = (band_pack_dense(
+                       rt8, by="window",
+                       chunk_multiple=cfg.routed_chunk_multiple) if db
+                   else band_pack(
+                       rt8, B=B, by="window",
+                       chunk_multiple=cfg.routed_chunk_multiple))
             if cache is not None:
                 from .ops.route import save_banded_pair
 
@@ -689,16 +721,20 @@ class Operator:
             print(f"[timing] upload {time.time() - t0:.1f}s", file=sys.stderr)
         self._rt, self._dt, self._rmeta = btF, (ft, btd), meta
         self._rmeta_bwd = metab
+        self._dense = (df, db)
         interp = bool(cfg.interpret)
+        from .ops.routed_project import _bwd_banded_dense_pallas
         from .ops.trace import voxel_order_flat, voxel_order_unflat
 
         vshape, vo = tuple(self.grid.vshape), self._vorder
+        SRb = cfg.routed_band_rows
 
         @jax.jit
         def fwd_one(flat, dt):
             ft, btd = dt
             d2 = btF.pad_density(voxel_order_flat(flat, vshape, vo))
-            y = banded_project(d2, ft, btd, meta, metab, B, interp)
+            y = banded_project(d2, ft, btd, meta, metab, B, interp,
+                               df, db, SRb)
             return y.reshape(-1)[: meta.n_rays]
 
         @jax.jit
@@ -708,7 +744,10 @@ class Operator:
             yt = jnp.concatenate(
                 [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
                     meta.T, meta.HI, 128)
-            d2 = _bwd_banded_pallas(yt, btd, metab, B, interpret=interp)
+            d2 = (_bwd_banded_dense_pallas(yt, btd, metab, SRb,
+                                           interpret=interp) if db
+                  else _bwd_banded_pallas(yt, btd, metab, B,
+                                          interpret=interp))
             return voxel_order_unflat(btF.unpad_density(d2), vshape, vo)
 
         self._routed = fwd_one
@@ -911,6 +950,25 @@ def _round_block(n: int) -> int:
     """Smallest power-of-two block ≥ min(n, 1) (so tiny problems don't pad
     to a huge block)."""
     return 1 << max(0, (n - 1)).bit_length()
+
+
+def _resolve_dense(cfg, T: int, H: int, SRb: int):
+    """Resolve config.routed_dense to (dense_fwd, dense_bwd) under the
+    VMEM envelopes: the dense forward holds the (H, 128) density plus an
+    H-row table block resident (H ≤ 1024 rows); the dense backward holds
+    the (T, HI, 128) dy plus an SRb·T-row table block (T ≤ 96)."""
+    mode = cfg.routed_dense
+    if mode == "off":
+        return False, False
+    if mode not in ("auto", "fwd", "bwd", "both"):
+        raise ValueError(f"routed_dense={mode!r} "
+                         "(want auto/off/fwd/bwd/both)")
+    fit_f = H <= 1024
+    fit_b = T <= 96 and SRb * T <= 1024
+    if mode == "auto":
+        return fit_f, fit_b
+    return (mode in ("fwd", "both") and fit_f,
+            mode in ("bwd", "both") and fit_b)
 
 
 @partial(jax.jit, static_argnames=("gs", "block", "itype_name"))

@@ -803,6 +803,124 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     )
 
 
+def band_pack_dense(rt: RoutedTables, by: str = "tile",
+                    chunk_multiple="auto") -> BandedTables:
+    """Dense-slot band packing: slot position encodes the band's OTHER
+    coordinate, so the kernels can index it statically.
+
+    ``by="tile"`` (forward): superchunk = one tile, slot w = the band of
+    density window w — the concatenated band windows are then the WHOLE
+    density image, so the kernel reads one resident ``(H, 128)`` input
+    instead of issuing B per-band window DMAs (the dominant forward
+    fetch cost: ~30 ns × ~33k live bands ≈ 1 ms/pass on the flagship).
+    Needs ``H//SRb ≤ ~128`` (table block VMEM) and pays dummy slots for
+    (tile, window) pairs with no crossings — orbit-style tomography
+    geometries are ~100% dense (flagship: 30.1k live of 245×123).
+
+    ``by="window"`` (backward): superchunk = one density window, slot t =
+    the band of ray tile t — every slot's dy tile is then static, so the
+    whole ``(T, HI, 128)`` dy array rides ONE resident input instead of
+    B per-band 16 KB blocks re-fetched once per (tile, window) pair
+    (~1.4 GB/pass at 100³).  Needs ``T ≤ ~96``.
+
+    Bands of the same (tile, window) beyond the first (rep spills) go to
+    follow-up superchunks of the same key, so aliased-output revisits
+    stay consecutive.  B is implied (= H//SRb or T); the ``bp`` pointer
+    array is still emitted (bp[k] = k) for layout-agnostic consumers.
+    """
+    SRb = rt.SR
+    NC = rt.NC
+    if by == "tile":
+        nkeys, nslots = rt.T, rt.H // SRb
+        key_c, slot_c = rt.tile, rt.sg
+        order = np.arange(NC)
+    else:
+        nkeys, nslots = rt.H // SRb, rt.T
+        key_c, slot_c = rt.sg, rt.tile
+        order = rt.bwd_order.astype(np.int64)
+    if NC == 0 or rt.n_live == 0:
+        return _empty_banded(rt, nslots, by, chunk_multiple)
+    lay = _dense_layout(order, key_c[order], slot_c[order], nkeys, nslots,
+                        chunk_multiple)
+    srcband, keyp, NCBp, NCB_real, pos = (
+        lay["sb"], lay["keyp"], lay["NCB"], lay["NCB_real"],
+        lay["npad_slots"])
+    B = nslots
+    dummy = srcband < 0
+    sb = np.where(dummy, 0, srcband)
+    nsl = NCBp * B
+
+    def rows(a, fill=0):
+        v = a.reshape(NC, SRb, LANES)[sb]
+        v = np.where(dummy[:, None, None], fill, v)
+        return v.reshape(nsl * SRb, LANES)
+
+    def rowsk(a, fill):
+        v = a.reshape(a.shape[0], NC, SRb, LANES)[:, sb]
+        v = np.where(dummy[None, :, None, None], fill, v)
+        return v.reshape(a.shape[0], nsl * SRb, LANES)
+
+    first = np.r_[1, (keyp[1:] != keyp[:-1]).astype(np.int32)]
+    if pos < nsl and NCB_real > 0:
+        first[NCB_real:] = 0
+    kmax_b = np.where(dummy, 0, rt.kmax[sb]).reshape(NCBp, B).max(axis=1)
+    sdf_b = np.where(dummy, 0, rt.sdf[sb]).reshape(NCBp, B).max(axis=1)
+    sdb_b = np.where(dummy, 0, rt.sdb[sb]).reshape(NCBp, B).max(axis=1)
+    bp = np.broadcast_to(np.arange(B, dtype=np.int32)[:, None],
+                         (B, NCBp)).copy()
+    covered = _covered(key_c, nkeys)
+
+    return BandedTables(
+        lvw=rows(rt.lvw), w=rows(rt.w), rposf=rows(rt.rposf),
+        src=rowsk(rt.src, 0), hik=rowsk(rt.hik, -1),
+        wp=rows(rt.wp), lp8p=rows(rt.lp8p), kcolp=rows(rt.kcolp),
+        rposb=rows(rt.rposb), put=rows(rt.put), putv=rows(rt.putv),
+        by=by, keyp=keyp.astype(np.int32), bp=bp,
+        kmax=kmax_b.astype(np.int32),
+        sdf=sdf_b.astype(np.int32), sdb=sdb_b.astype(np.int32),
+        first=first.astype(np.int32),
+        covered=covered,
+        NCB=NCBp, B=B, SRb=SRb, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T,
+        H=rt.H, n_rays=rt.n_rays, volume_size=rt.volume_size,
+        scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,
+    )
+
+
+def _dense_layout(order, key_sorted, slot_sorted, nkeys, nslots,
+                  chunk_multiple):
+    """Slot layout of :func:`band_pack_dense`: per key, superchunk r
+    holds at slot s the r-th band of (key, s).  Returns the same dict
+    shape as the device core's ``_band_layout``."""
+    # rep rank of each band within its (key, slot) pair
+    o2 = np.lexsort((np.arange(len(order)), slot_sorted, key_sorted))
+    ks = key_sorted[o2]
+    ss = slot_sorted[o2]
+    pair_first = np.r_[True, (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])]
+    idx = np.arange(len(order))
+    starts = idx[pair_first]
+    rep = idx - np.repeat(starts, np.diff(np.r_[starts, len(order)]))
+    # superchunks per key = max rep + 1
+    repmax = np.zeros(nkeys, np.int64)
+    np.maximum.at(repmax, ks, rep + 1)
+    NCB_real = int(repmax.sum())
+    if chunk_multiple == "auto":
+        chunk_multiple = max(1, 1 << max(0, NCB_real.bit_length() - 5))
+    NCBp = _round_up(max(NCB_real, 1), chunk_multiple)
+    chunk_base = np.zeros(nkeys, np.int64)
+    np.cumsum(repmax[:-1], out=chunk_base[1:])
+    nsl = NCBp * nslots
+    sb = np.full(nsl, -1, np.int64)
+    sb[(chunk_base[ks] + rep) * nslots + ss] = order[o2]
+    keyp = np.zeros(NCBp, np.int64)
+    live_keys = np.flatnonzero(repmax)
+    keyp[: NCB_real] = np.repeat(live_keys, repmax[live_keys])
+    pos = NCB_real * nslots
+    if NCB_real and NCBp > NCB_real:
+        keyp[NCB_real:] = keyp[NCB_real - 1]
+    return dict(sb=sb, keyp=keyp, NCB=NCBp, NCB_real=NCB_real,
+                npad_slots=pos)
+
+
 def save_banded_pair(path: str, btF: BandedTables, btB: BandedTables
                      ) -> None:
     """Atomically save a (fwd, bwd) BandedTables pair as a DIRECTORY of

@@ -379,7 +379,8 @@ def _slot_of_chunk(lay, NC, B):
 def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
                         KD: int = 3, B: int = 32, chunk_multiple="auto",
                         max_iter: int = 16, npad_multiple: int = 1 << 20,
-                        T: int = None):
+                        T: int = None, dense_fwd: bool = False,
+                        dense_bwd: bool = False):
     """Device-routing core: banded tables as RAW pieces.
 
     Same algorithm as :func:`build_banded_device` (which wraps this), but
@@ -444,8 +445,9 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
     nlive = int(nlive)  # host sync 1
     tick("classify", w)
     if nlive == 0:
-        return _empty_core(SR, KD, G, HI, T, H, R, volume_size, B,
-                           chunk_multiple)
+        return _empty_core(SR, KD, G, HI, T, H, R, volume_size,
+                           H // SR if dense_fwd else B,
+                           T if dense_bwd else B, chunk_multiple)
     npad = min(_round_up(nlive, npad_multiple), R * M)
     rowkey, p, lv, w = _stage_compact(khi, klo, rowkey, p, lv, w, npad,
                                       exact=(npad == nlive))
@@ -485,39 +487,60 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
     # pure-dead chunks (all slots from npad padding) are dropped from the
     # band layout — their fills park past the table end (mode='drop'), so
     # the produced layout matches the host router's exactly
+    from .route import _dense_layout
+
     live_ids = np.flatnonzero(live_h)
-    fwd = _band_layout(live_ids, tile_h[live_ids], T, B, chunk_multiple)
+    Bf = H // SR if dense_fwd else B
+    Bb = T if dense_bwd else B
+    if dense_fwd:
+        fwd = _dense_layout(live_ids, tile_h[live_ids], sg_h[live_ids],
+                            T, Bf, chunk_multiple)
+    else:
+        fwd = _band_layout(live_ids, tile_h[live_ids], T, B,
+                           chunk_multiple)
     bwd_sub = np.lexsort((tile_h[live_ids], sg_h[live_ids]))
     bwd_order = live_ids[bwd_sub].astype(np.int64)
-    bwd = _band_layout(bwd_order, sg_h[bwd_order], H // SR, B,
-                       chunk_multiple)
+    if dense_bwd:
+        bwd = _dense_layout(bwd_order, sg_h[bwd_order], tile_h[bwd_order],
+                            H // SR, Bb, chunk_multiple)
+    else:
+        bwd = _band_layout(bwd_order, sg_h[bwd_order], H // SR, B,
+                           chunk_multiple)
 
-    def scalars(lay, other):
+    def scalars(lay, other, Bs):
         sb, keyp, NCB = lay["sb"], lay["keyp"], lay["NCB"]
         dummy = sb < 0
         sbs = np.where(dummy, 0, sb)
-        bp = np.where(dummy, 0, other[sbs]).reshape(NCB, B).T
-        km = np.where(dummy, 0, kmax_h[sbs]).reshape(NCB, B).max(axis=1)
-        sf = np.where(dummy, 0, sdf_h[sbs]).reshape(NCB, B).max(axis=1)
-        sbd = np.where(dummy, 0, sdb_h[sbs]).reshape(NCB, B).max(axis=1)
+        bp = np.where(dummy, 0, other[sbs]).reshape(NCB, Bs).T
+        km = np.where(dummy, 0, kmax_h[sbs]).reshape(NCB, Bs).max(axis=1)
+        sf = np.where(dummy, 0, sdf_h[sbs]).reshape(NCB, Bs).max(axis=1)
+        sbd = np.where(dummy, 0, sdb_h[sbs]).reshape(NCB, Bs).max(axis=1)
         first = np.r_[1, (keyp[1:] != keyp[:-1]).astype(np.int32)]
-        if lay["npad_slots"] < NCB * B and lay["NCB_real"] > 0:
+        if lay["npad_slots"] < NCB * Bs and lay["NCB_real"] > 0:
             first[lay["NCB_real"]:] = 0
         return (bp.astype(np.int32), keyp.astype(np.int32),
                 km.astype(np.int32), sf.astype(np.int32),
                 sbd.astype(np.int32), first.astype(np.int32))
 
-    f_bp, f_keyp, f_km, f_sf, f_sb, f_first = scalars(fwd, sg_h)
-    b_bp, b_keyp, b_km, b_sf, b_sb, b_first = scalars(bwd, tile_h)
+    f_bp, f_keyp, f_km, f_sf, f_sb, f_first = scalars(fwd, sg_h, Bf)
+    b_bp, b_keyp, b_km, b_sf, b_sb, b_first = scalars(bwd, tile_h, Bb)
+    # dense slots: the slot index IS the pointer; emit bp[k] = k on dummy
+    # slots too, matching band_pack_dense (kernels never read dense bp)
+    if dense_fwd:
+        f_bp = np.broadcast_to(
+            np.arange(Bf, dtype=np.int32)[:, None], f_bp.shape).copy()
+    if dense_bwd:
+        b_bp = np.broadcast_to(
+            np.arange(Bb, dtype=np.int32)[:, None], b_bp.shape).copy()
 
-    f_slot = jnp.asarray(_slot_of_chunk(fwd, NC, B))
-    b_slot = jnp.asarray(_slot_of_chunk(bwd, NC, B))
+    f_slot = jnp.asarray(_slot_of_chunk(fwd, NC, Bf))
+    b_slot = jnp.asarray(_slot_of_chunk(bwd, NC, Bb))
 
     hi = p // LANES
     lp = p % LANES
     k_entry = _expand_run_k(run_id, ends, kk)
-    NRf = fwd["NCB"] * B * SR
-    NRb = bwd["NCB"] * B * SR
+    NRf = fwd["NCB"] * Bf * SR
+    NRb = bwd["NCB"] * Bb * SR
     ftbl = _stage_fill_fwd(f_slot, chunk_of, rowkey, col, lv, w, hi, lp,
                            ends, rposf, k_entry, NRf, SR, KD)
     tick("fill-fwd", ftbl["w"])
@@ -536,14 +559,15 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
                  first=b_first),
         cov_f=_covered(tile_h[live_ids], T),
         cov_b=_covered(sg_h[live_ids], H // SR),
-        NCBf=fwd["NCB"], NCBb=bwd["NCB"],
+        NCBf=fwd["NCB"], NCBb=bwd["NCB"], Bf=Bf, Bb=Bb,
         scan_fwd=scan_fwd, scan_bwd=scan_bwd,
         T=T, H=H, HI=HI, R=R)
 
 
 def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
                         KD: int = 3, B: int = 32, chunk_multiple="auto",
-                        max_iter: int = 16, npad_multiple: int = 1 << 20):
+                        max_iter: int = 16, npad_multiple: int = 1 << 20,
+                        dense_fwd: bool = False, dense_bwd: bool = False):
     """Build banded routing tables on the device holding ``lin``/``lens``.
 
     Args:
@@ -554,6 +578,9 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
             route.band_pack (SR = rows per band = routed_band_rows).
         npad_multiple: live-crossing padding granularity (compile-cache
             bucketing; 1 = exact, used by the bit-parity tests).
+        dense_fwd / dense_bwd: dense-slot layouts per side (the device
+            analog of route.band_pack_dense); B applies to classic sides
+            only.
 
     Returns:
         (ft, meta, btd, metab, helper): BandedDeviceFwd / BandedDeviceBwd
@@ -567,7 +594,8 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
     )
 
     c = _banded_device_core(lin, lens, volume_size, G, SR, KD, B,
-                            chunk_multiple, max_iter, npad_multiple)
+                            chunk_multiple, max_iter, npad_multiple,
+                            dense_fwd=dense_fwd, dense_bwd=dense_bwd)
     T, H, HI, R = c["T"], c["H"], c["HI"], c["R"]
     ftbl, btbl, fsc, bsc = c["ftbl"], c["btbl"], c["fsc"], c["bsc"]
 
@@ -580,26 +608,27 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
         lvw=ftbl["lvw"], w=ftbl["w"], rposf=ftbl["rposf"],
         src=ftbl["src"], hik=ftbl["hik"], bp=jnp.asarray(fsc["bp"]),
         p2=p2(fsc, "sdf"), covered=jnp.asarray(c["cov_f"]))
-    meta = RoutedMeta(c["NCBf"], SR * B, KD, G, HI, T, H, R,
+    meta = RoutedMeta(c["NCBf"], SR * c["Bf"], KD, G, HI, T, H, R,
                       volume_size, c["scan_fwd"], c["scan_bwd"])
     btd = BandedDeviceBwd(
         rposb=btbl["rposb"], wp=btbl["wp"], lp8p=btbl["lp8p"],
         kcolp=btbl["kcolp"], hik=btbl["hik"], put=btbl["put"],
         putv=btbl["putv"], bp=jnp.asarray(bsc["bp"]),
         p2=p2(bsc, "sdb"), covered=jnp.asarray(c["cov_b"]))
-    metab = RoutedMeta(c["NCBb"], SR * B, KD, G, HI, T, H, R,
+    metab = RoutedMeta(c["NCBb"], SR * c["Bb"], KD, G, HI, T, H, R,
                        volume_size, c["scan_fwd"], c["scan_bwd"])
     return ft, meta, btd, metab, DevicePadHelper(H, volume_size)
 
 
-def _empty_core(SR, KD, G, HI, T, H, R, volume_size, B, chunk_multiple):
+def _empty_core(SR, KD, G, HI, T, H, R, volume_size, Bf, Bb,
+                chunk_multiple):
     """Raw pieces of all-dummy tables for an empty shard (no live
     crossings): reuse the host empty-band construction (KB-scale)."""
     from .route import _empty_banded, _empty_tables
 
     rt = _empty_tables(SR, KD, G, HI, T, H, R, volume_size)
-    btF = _empty_banded(rt, B, "tile", chunk_multiple)
-    btB = _empty_banded(rt, B, "window", chunk_multiple)
+    btF = _empty_banded(rt, Bf, "tile", chunk_multiple)
+    btB = _empty_banded(rt, Bb, "window", chunk_multiple)
     return dict(
         ftbl={k: jnp.asarray(getattr(btF, k))
               for k in ("lvw", "w", "rposf", "src", "hik")},
@@ -611,6 +640,6 @@ def _empty_core(SR, KD, G, HI, T, H, R, volume_size, B, chunk_multiple):
         bsc=dict(bp=btB.bp, keyp=btB.keyp, kmax=btB.kmax, sdb=btB.sdb,
                  first=btB.first),
         cov_f=btF.covered, cov_b=btB.covered,
-        NCBf=btF.NCB, NCBb=btB.NCB,
+        NCBf=btF.NCB, NCBb=btB.NCB, Bf=Bf, Bb=Bb,
         scan_fwd=btF.scan_fwd, scan_bwd=btB.scan_bwd,
         T=T, H=H, HI=HI, R=R)

@@ -644,6 +644,203 @@ def _fwd_banded_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta, B: int,
     return jnp.where(ft.covered[:, None, None] > 0, y, 0.0)
 
 
+def _fwd_banded_dense_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta,
+                             interpret=False, stage="full"):
+    """Dense-slot forward (route.band_pack_dense(by='tile')): slot w =
+    the band of density window w, so the concatenated band windows ARE
+    the density image — one resident (H, 128) input with a constant
+    index map replaces the B per-band window BlockSpecs (and their
+    ~30 ns × live-band DMA issues, the dominant forward fetch cost)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NCB, SRB, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
+    assert SRB == meta.H, (SRB, meta.H)  # slots cover every window
+
+    def kernel(p2_ref, lvw_ref, w_ref, rposf_ref, src_ref, hik_ref,
+               d2_ref, y_ref, acc_scr):
+        b = pl.program_id(0)
+        p2 = p2_ref[b]
+
+        @pl.when((p2 & 0xF) == 1)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        W = d2_ref[:]  # (H, L): slot rows == density rows
+        wv = w_ref[:]
+        F = jnp.take_along_axis(W, lvw_ref[:].astype(jnp.int32), axis=1) * wv
+        if stage == "fetch":
+            y_ref[0, 0, :] += jnp.sum(F, axis=0)
+            return
+        rp = rposf_ref[:].astype(jnp.int32)
+        acc_scr[:] = F
+        sd = (p2 >> 8) & 0xF
+        for t in range(meta.scan_fwd):
+
+            @pl.when(sd > t)
+            def _step(s=1 << t):
+                acc_scr[:] += jnp.where(
+                    rp >= s, pltpu.roll(acc_scr[:], s, 1), 0.0)
+
+        acc = acc_scr[:]
+        if stage == "scan":
+            y_ref[0, 0, :] += jnp.sum(acc, axis=0)
+            return
+
+        def reduce_body(kd_eff):
+            Rks = [jnp.take_along_axis(acc, src_ref[k].astype(jnp.int32),
+                                       axis=1)
+                   for k in range(kd_eff)]
+            hiks = [hik_ref[k].astype(jnp.int32) for k in range(kd_eff)]
+            for h in range(HI):
+                z = jnp.where(hiks[0] == h, Rks[0], 0.0)
+                for k in range(1, kd_eff):
+                    z = z + jnp.where(hiks[k] == h, Rks[k], 0.0)
+                y_ref[0, h, :] += jnp.sum(z, axis=0)
+
+        if KD == 1:
+            reduce_body(1)
+        else:
+            km = (p2 >> 4) & 0xF
+            for kd in range(KD):
+                cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
+
+                @pl.when(cond)
+                def _red(kd_eff=kd + 1):
+                    reduce_body(kd_eff)
+
+    col = pl.BlockSpec((SRB, LANES), lambda b, p2: (b, 0))
+    colk = pl.BlockSpec((KD, SRB, LANES), lambda b, p2: (0, b, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # packed p2 (no per-band pointers)
+        grid=(NCB,),
+        in_specs=[col, col, col, colk, colk,
+                  pl.BlockSpec((meta.H, LANES), lambda b, p2: (0, 0))],
+        out_specs=pl.BlockSpec((1, HI, LANES),
+                               lambda b, p2: (p2[b] >> 16, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((SRB, LANES), d2.dtype)],
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
+        interpret=interpret,
+    )(ft.p2, ft.lvw, ft.w, ft.rposf, ft.src, ft.hik, d2)
+    return jnp.where(ft.covered[:, None, None] > 0, y, 0.0)
+
+
+def _bwd_banded_dense_pallas(dy, btd: BandedDeviceBwd, meta: RoutedMeta,
+                             SRb: int, interpret=False, g_fetch=None,
+                             stage="full"):
+    """Dense-slot backward (route.band_pack_dense(by='window')): slot t =
+    the band of ray tile t, so every slot's dy tile index is STATIC and
+    the whole (T, HI, 128) dy array rides one resident input — no
+    per-band dy blocks re-fetched once per (tile, window) pair (~1.4 GB
+    and ~B BlockSpec issues/step at 100³)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NCB, SRB, KD, HI, H = meta.NC, meta.SR, meta.KD, meta.HI, meta.H
+    T = meta.T
+    assert SRB == SRb * T, (SRB, SRb, T)  # slots cover every tile
+    g_fetch = BWD_BANDED_G_FETCH if g_fetch is None else g_fetch
+    grouped = g_fetch == "grouped8" and HI >= 8 and HI % 8 == 0
+
+    def kernel(p2_ref, rposb_ref, wp_ref, lp8p_ref, kcolp_ref,
+               hik_ref, put_ref, putv_ref, dy_ref, out_ref, g_scr,
+               t_scr):
+        b = pl.program_id(0)
+        p2 = p2_ref[b]
+
+        @pl.when((p2 & 0xF) == 1)
+        def _init():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        lp32 = lp8p_ref[:].astype(jnp.int32)
+        kc = kcolp_ref[:].astype(jnp.int32)
+
+        def gfetch(kd_eff):
+            g = jnp.zeros((SRB, LANES), out_ref.dtype)
+            for k in range(kd_eff):
+                hv = jnp.clip(hik_ref[k].astype(jnp.int32), 0, HI - 1)
+                parts = []
+                for o in range(SRB // 8):
+                    kb = o * 8 // SRb       # band = tile, statically
+                    dyt = dy_ref[kb]        # (HI, L) static slice
+                    hvb = hv[o * 8:(o + 1) * 8]
+                    if grouped:
+                        lo = hvb & 7
+                        rkb = None
+                        for gg in range(HI // 8):
+                            sel = jnp.take_along_axis(
+                                dyt[8 * gg:8 * gg + 8], lo, axis=0)
+                            rkb = sel if rkb is None else jnp.where(
+                                (hvb >> 3) == gg, sel, rkb)
+                    else:
+                        rkb = jnp.broadcast_to(dyt[0][None, :], (8, LANES))
+                        for h in range(1, HI):
+                            rkb = jnp.where(hvb == h, dyt[h][None, :], rkb)
+                    parts.append(rkb)
+                rk = jnp.concatenate(parts, axis=0)
+                gc = jnp.take_along_axis(rk, lp32, axis=1)
+                g = gc if kd_eff == 1 else jnp.where(kc == k, gc, g)
+            g_scr[:] = g
+
+        if stage == "tail":
+            g_scr[:] = jnp.broadcast_to(
+                dy_ref[0, 0, :][None, :], (SRB, LANES))
+        elif KD == 1:
+            gfetch(1)
+        else:
+            km = (p2 >> 4) & 0xF
+            for kd in range(KD):
+                cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
+
+                @pl.when(cond)
+                def _g(kd_eff=kd + 1):
+                    gfetch(kd_eff)
+
+        if stage == "gfetch":
+            out_ref[:] += (g_scr[:] * wp_ref[:]).reshape(
+                T, SRb, LANES).sum(axis=0)
+            return
+        t_scr[:] = g_scr[:] * wp_ref[:]
+        rp = rposb_ref[:].astype(jnp.int32)
+        sd = (p2 >> 8) & 0xF
+        for t in range(meta.scan_bwd):
+
+            @pl.when(sd > t)
+            def _step(s=1 << t):
+                t_scr[:] += jnp.where(
+                    rp >= s, pltpu.roll(t_scr[:], s, 1), 0.0)
+
+        placed = jnp.take_along_axis(t_scr[:], put_ref[:].astype(jnp.int32),
+                                     axis=1)
+        placed = placed * putv_ref[:].astype(jnp.int32).astype(out_ref.dtype)
+        out_ref[:] += placed.reshape(T, SRb, LANES).sum(axis=0)
+
+    col = pl.BlockSpec((SRB, LANES), lambda b, p2: (b, 0))
+    colk = pl.BlockSpec((KD, SRB, LANES), lambda b, p2: (0, b, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NCB,),
+        in_specs=[col, col, col, col, colk, col, col,
+                  pl.BlockSpec((T, HI, LANES), lambda b, p2: (0, 0, 0))],
+        out_specs=pl.BlockSpec((SRb, LANES),
+                               lambda b, p2: (p2[b] >> 16, 0)),
+        scratch_shapes=[pltpu.VMEM((SRB, LANES), dy.dtype),
+                        pltpu.VMEM((SRB, LANES), dy.dtype)],
+    )
+    dD2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, LANES), dy.dtype),
+        interpret=interpret,
+    )(btd.p2, btd.rposb, btd.wp, btd.lp8p, btd.kcolp, btd.hik,
+      btd.put, btd.putv, dy)
+    return jnp.where(jnp.repeat(btd.covered, SRb)[:, None] > 0, dD2, 0.0)
+
+
 # banded backward dy row-select: "grouped8" = sublane gathers within
 # 8-row groups + group select tree (4 gathers + 3 selects at HI=32;
 # measured 1.35x on the whole bwd kernel vs "tree" on v5e, bit-identical);
@@ -773,22 +970,34 @@ def _bwd_banded_pallas(dy, btd: BandedDeviceBwd, meta: RoutedMeta, B: int,
     return jnp.where(jnp.repeat(btd.covered, SRb)[:, None] > 0, dD2, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def banded_project(d2, ft: BandedDeviceFwd, btd: BandedDeviceBwd,
                    meta: RoutedMeta, metab: RoutedMeta, B: int,
-                   interpret: bool = False):
+                   interpret: bool = False, dense_fwd: bool = False,
+                   dense_bwd: bool = False, srb: int = 8):
     """y (T, HI, 128) = band-compacted routed forward projection.
 
     ``meta``/``metab`` are the forward (by-tile) and backward (by-window)
-    groupings' metas — their superchunk counts differ in general."""
+    groupings' metas — their superchunk counts differ in general.
+    ``dense_fwd``/``dense_bwd`` select the dense-slot kernels (tables
+    from route.band_pack_dense); ``B`` is the classic side's band count
+    and ``srb`` the band height (needed by the dense backward)."""
+    if dense_fwd:
+        return _fwd_banded_dense_pallas(d2, ft, meta, interpret=interpret)
     return _fwd_banded_pallas(d2, ft, meta, B, interpret=interpret)
 
 
-def _bp_fwd(d2, ft, btd, meta, metab, B, interpret):
-    return banded_project(d2, ft, btd, meta, metab, B, interpret), btd
+def _bp_fwd(d2, ft, btd, meta, metab, B, interpret, dense_fwd, dense_bwd,
+            srb):
+    return banded_project(d2, ft, btd, meta, metab, B, interpret,
+                          dense_fwd, dense_bwd, srb), btd
 
 
-def _bp_bwd(meta, metab, B, interpret, btd, dy):
+def _bp_bwd(meta, metab, B, interpret, dense_fwd, dense_bwd, srb, btd, dy):
+    if dense_bwd:
+        return (_bwd_banded_dense_pallas(dy, btd, metab, srb,
+                                         interpret=interpret),
+                None, None)
     return (_bwd_banded_pallas(dy, btd, metab, B, interpret=interpret),
             None, None)
 

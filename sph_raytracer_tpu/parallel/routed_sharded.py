@@ -451,7 +451,7 @@ def build_banded_device_shards(lin, lens, volume_size: int,
         if hi <= lo:  # past the last real ray: all-dummy shard
             cores.append(_empty_core(
                 SR, KD, G, G // 128, tiles_per, H_rows, 0, volume_size,
-                B, 1))
+                B, B, 1))
             continue
         cores.append(_banded_device_core(
             lin[lo:hi], lens[lo:hi], volume_size, G=G, SR=SR, KD=KD, B=B,

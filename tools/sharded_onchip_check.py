@@ -74,10 +74,13 @@ def main():
     # routed_build='host': the sharded build below routes on the host,
     # and the bit-identity claim needs both sides consuming the SAME
     # trace (the default device build traces on-chip with the ranked
-    # method — f32 rounding/order differ from the host trace)
+    # method — f32 rounding/order differ from the host trace).
+    # routed_dense='off': the sharded build uses the classic pointer-
+    # banded layout; the dense-slot default would change summation order.
     op = srt.Operator(grid, geom,
                       config=srt.TraceConfig(mode="routed",
-                                             routed_build="host"))
+                                             routed_build="host",
+                                             routed_dense="off"))
     img_ref = np.asarray(op(vol))
     y = jnp.asarray(img_ref + 0.1)
     print(f"[check] single-device setup {time.time() - t0:.1f}s",
