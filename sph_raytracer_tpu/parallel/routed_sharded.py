@@ -335,21 +335,27 @@ def stack_banded_shards(fts, bts, tiles_per: int, n_rays: int,
             for k in FWD_BANDED_FIELDS}
     bstk = {k: np.stack([getattr(t, k) for t in bts])
             for k in BWD_BANDED_FIELDS}
+    b0 = bts[0]  # the two sides' B differ under dense-slot layouts
     mf = RoutedMeta(NCf, s0.SRb * s0.B, s0.KD, s0.G, s0.HI, tiles_per,
                     s0.H, n_rays, s0.volume_size, sf, sb)
-    mb = RoutedMeta(NCb, s0.SRb * s0.B, s0.KD, s0.G, s0.HI, tiles_per,
-                    s0.H, n_rays, s0.volume_size, sf, sb)
+    mb = RoutedMeta(NCb, b0.SRb * b0.B, b0.KD, b0.G, b0.HI, tiles_per,
+                    b0.H, n_rays, b0.volume_size, sf, sb)
     return fstk, bstk, mf, mb
 
 
 def shard_banded_tables(rt8, n_devices: int, B: int = 8,
-                        chunk_multiple: int = 256):
+                        chunk_multiple: int = 256,
+                        dense_fwd: bool = False, dense_bwd: bool = False):
     """Split routed tables by tile range and band-pack each shard.
+
+    ``dense_fwd``/``dense_bwd`` select the dense-slot layouts per side
+    (route.band_pack_dense) — every shard shares the same implied B
+    (H//SRb resp. tiles_per), so stacking stays uniform.
 
     Returns (fwd stacked dict, bwd stacked dict, meta_fwd, meta_bwd) with
     all shards padded to common superchunk counts.
     """
-    from ..ops.route import band_pack
+    from ..ops.route import band_pack, band_pack_dense
 
     D = n_devices
     Tp = -(-rt8.T // D) * D
@@ -359,15 +365,20 @@ def shard_banded_tables(rt8, n_devices: int, B: int = 8,
     for d in range(D):
         sub = _slice_rt8(rt8, int(bounds[d]), int(bounds[d + 1]),
                          tiles_per, d)
-        fts.append(band_pack(sub, B=B, by="tile", chunk_multiple=1))
-        bts.append(band_pack(sub, B=B, by="window", chunk_multiple=1))
+        fts.append(band_pack_dense(sub, by="tile", chunk_multiple=1)
+                   if dense_fwd else
+                   band_pack(sub, B=B, by="tile", chunk_multiple=1))
+        bts.append(band_pack_dense(sub, by="window", chunk_multiple=1)
+                   if dense_bwd else
+                   band_pack(sub, B=B, by="window", chunk_multiple=1))
     return stack_banded_shards(
         fts, bts, tiles_per, rt8.n_rays, chunk_multiple,
         scan_fwd=rt8.scan_fwd, scan_bwd=rt8.scan_bwd)
 
 
 def banded_shard_local(lin_h, lens_h, volume_size: int, tiles_per: int,
-                       G: int, SR: int, KD: int, B: int):
+                       G: int, SR: int, KD: int, B: int,
+                       dense_fwd: bool = False, dense_bwd: bool = False):
     """Route + band-pack ONE device's tile-aligned ray range independently
     of every other shard.
 
@@ -392,14 +403,16 @@ def banded_shard_local(lin_h, lens_h, volume_size: int, tiles_per: int,
     """
     import dataclasses as _dc
 
-    from ..ops.route import band_pack, build_routed_tables
+    from ..ops.route import band_pack, band_pack_dense, build_routed_tables
 
     rt = build_routed_tables(lin_h, lens_h, volume_size, G=G, SR=SR, KD=KD)
     if rt.T < tiles_per:
         rt = _dc.replace(rt, T=tiles_per,
                          tiles_covered=_pad_to(rt.tiles_covered, tiles_per))
-    ft = band_pack(rt, B=B, by="tile", chunk_multiple=1)
-    bt = band_pack(rt, B=B, by="window", chunk_multiple=1)
+    ft = (band_pack_dense(rt, by="tile", chunk_multiple=1) if dense_fwd
+          else band_pack(rt, B=B, by="tile", chunk_multiple=1))
+    bt = (band_pack_dense(rt, by="window", chunk_multiple=1) if dense_bwd
+          else band_pack(rt, B=B, by="window", chunk_multiple=1))
     return ft, bt
 
 
@@ -408,7 +421,9 @@ def build_banded_device_shards(lin, lens, volume_size: int,
                                KD: int = 3, B: int = 32,
                                chunk_multiple: int = 256,
                                npad_multiple: int = 1 << 20,
-                               tiles_per: int = None, n_rays: int = None):
+                               tiles_per: int = None, n_rays: int = None,
+                               dense_fwd: bool = False,
+                               dense_bwd: bool = False):
     """Per-device banded tables built ON THE DEVICE holding the trace.
 
     The sharded analog of :func:`~..ops.route_device.build_banded_device`
@@ -444,6 +459,8 @@ def build_banded_device_shards(lin, lens, volume_size: int,
     from ..ops.route_device import _empty_core
 
     H_rows = _round_up_mult(max(1, -(-volume_size // 128)), SR)
+    Bf = H_rows // SR if dense_fwd else B
+    Bb = tiles_per if dense_bwd else B
     cores = []
     for d in range(D):
         lo = min(d * rays_per, lin.shape[0])
@@ -451,11 +468,12 @@ def build_banded_device_shards(lin, lens, volume_size: int,
         if hi <= lo:  # past the last real ray: all-dummy shard
             cores.append(_empty_core(
                 SR, KD, G, G // 128, tiles_per, H_rows, 0, volume_size,
-                B, B, 1))
+                Bf, Bb, 1))
             continue
         cores.append(_banded_device_core(
             lin[lo:hi], lens[lo:hi], volume_size, G=G, SR=SR, KD=KD, B=B,
-            chunk_multiple=1, npad_multiple=npad_multiple, T=tiles_per))
+            chunk_multiple=1, npad_multiple=npad_multiple, T=tiles_per,
+            dense_fwd=dense_fwd, dense_bwd=dense_bwd))
 
     NCf = _round_up_mult(max(c["NCBf"] for c in cores), chunk_multiple)
     NCb = _round_up_mult(max(c["NCBb"] for c in cores), chunk_multiple)
@@ -479,7 +497,8 @@ def build_banded_device_shards(lin, lens, volume_size: int,
             return {k: np.asarray(v) for k, v in sc.items()}
         out = {}
         out["bp"] = np.concatenate(
-            [sc["bp"], np.zeros((B, e), sc["bp"].dtype)], axis=1)
+            [sc["bp"], np.zeros((sc["bp"].shape[0], e), sc["bp"].dtype)],
+            axis=1)
         last_key = sc["keyp"][-1] if len(sc["keyp"]) else 0
         out["keyp"] = np.concatenate(
             [sc["keyp"], np.full(e, last_key, sc["keyp"].dtype)])
@@ -492,11 +511,11 @@ def build_banded_device_shards(lin, lens, volume_size: int,
     for key in ("lvw", "w", "rposf", "src", "hik"):
         fill = -1 if key == "hik" else 0
         fstk[key] = jnp.stack(
-            [pad_rows(c["ftbl"][key], NCf * B * SR, fill) for c in cores])
+            [pad_rows(c["ftbl"][key], NCf * Bf * SR, fill) for c in cores])
     for key in ("rposb", "wp", "lp8p", "kcolp", "put", "putv", "hik"):
         fill = -1 if key == "hik" else 0
         bstk[key] = jnp.stack(
-            [pad_rows(c["btbl"][key], NCb * B * SR, fill) for c in cores])
+            [pad_rows(c["btbl"][key], NCb * Bb * SR, fill) for c in cores])
     fscs = [pad_sc(c["fsc"], NCf, "sdf") for c in cores]
     bscs = [pad_sc(c["bsc"], NCb, "sdb") for c in cores]
     for key in ("bp", "keyp", "kmax", "sdf", "first"):
@@ -506,9 +525,9 @@ def build_banded_device_shards(lin, lens, volume_size: int,
     fstk["covered"] = jnp.asarray(np.stack([c["cov_f"] for c in cores]))
     bstk["covered"] = jnp.asarray(np.stack([c["cov_b"] for c in cores]))
 
-    mf = RoutedMeta(NCf, SR * B, KD, G, HI, tiles_per, H, R,
+    mf = RoutedMeta(NCf, SR * Bf, KD, G, HI, tiles_per, H, R,
                     volume_size, sf, sb)
-    mb = RoutedMeta(NCb, SR * B, KD, G, HI, tiles_per, H, R,
+    mb = RoutedMeta(NCb, SR * Bb, KD, G, HI, tiles_per, H, R,
                     volume_size, sf, sb)
     return fstk, bstk, mf, mb, DevicePadHelper(H, volume_size)
 
@@ -561,13 +580,24 @@ def _btd_of(leaves, keys):
 
 
 @partial(jax.jit, static_argnames=("mesh", "meta", "metab", "B",
-                                   "interpret", "axis"))
+                                   "interpret", "axis", "dense_fwd",
+                                   "dense_bwd", "srb"))
 def sharded_banded_project(mesh, ftables: dict, btables: dict,
                            meta: RoutedMeta, metab: RoutedMeta, B: int, d2,
-                           interpret: bool = False, axis: str = RAY_AXIS):
+                           interpret: bool = False, axis: str = RAY_AXIS,
+                           dense_fwd: bool = False,
+                           dense_bwd: bool = False, srb: int = 8):
     """Band-compacted forward over the mesh (differentiable; the backward
-    runs the banded transpose kernel per shard and psums)."""
-    from ..ops.routed_project import _bwd_banded_pallas, _fwd_banded_pallas
+    runs the banded transpose kernel per shard and psums).
+    ``dense_fwd``/``dense_bwd`` select the dense-slot kernels (tables
+    from the dense shard builds); ``B`` is the classic side's band count
+    and ``srb`` the band height."""
+    from ..ops.routed_project import (
+        _bwd_banded_dense_pallas,
+        _bwd_banded_pallas,
+        _fwd_banded_dense_pallas,
+        _fwd_banded_pallas,
+    )
 
     fkeys = sorted(ftables)
     bkeys = sorted(btables)
@@ -579,6 +609,9 @@ def sharded_banded_project(mesh, ftables: dict, btables: dict,
     def _fwd_local(d2, ftables):
         def local(d2, *ls):
             ft = _ft_of([l[0] for l in ls], fkeys)
+            if dense_fwd:
+                return _fwd_banded_dense_pallas(d2, ft, meta,
+                                                interpret=interpret)
             return _fwd_banded_pallas(d2, ft, meta, B, interpret=interpret)
 
         return jax.shard_map(
@@ -596,7 +629,12 @@ def sharded_banded_project(mesh, ftables: dict, btables: dict,
     def bwd(btables, dy):
         def local(dy, *ls):
             btd = _btd_of([l[0] for l in ls], bkeys)
-            dD2 = _bwd_banded_pallas(dy, btd, metab, B, interpret=interpret)
+            if dense_bwd:
+                dD2 = _bwd_banded_dense_pallas(dy, btd, metab, srb,
+                                               interpret=interpret)
+            else:
+                dD2 = _bwd_banded_pallas(dy, btd, metab, B,
+                                         interpret=interpret)
             return jax.lax.psum(dD2, RAY_AXIS)
 
         dD2 = jax.shard_map(
@@ -614,18 +652,26 @@ def sharded_banded_project(mesh, ftables: dict, btables: dict,
 
 
 @partial(jax.jit, static_argnames=("mesh", "metab", "B", "interpret",
-                                   "axis"))
+                                   "axis", "dense_bwd", "srb"))
 def sharded_banded_backproject(mesh, btables: dict, metab: RoutedMeta,
                                B: int, dy, interpret: bool = False,
-                               axis: str = RAY_AXIS):
+                               axis: str = RAY_AXIS,
+                               dense_bwd: bool = False, srb: int = 8):
     """Adjoint over the mesh with the banded transpose kernel."""
-    from ..ops.routed_project import _bwd_banded_pallas
+    from ..ops.routed_project import (
+        _bwd_banded_dense_pallas,
+        _bwd_banded_pallas,
+    )
 
     bkeys = sorted(btables)
 
     def local(dy, *ls):
         btd = _btd_of([l[0] for l in ls], bkeys)
-        dD2 = _bwd_banded_pallas(dy, btd, metab, B, interpret=interpret)
+        if dense_bwd:
+            dD2 = _bwd_banded_dense_pallas(dy, btd, metab, srb,
+                                           interpret=interpret)
+        else:
+            dD2 = _bwd_banded_pallas(dy, btd, metab, B, interpret=interpret)
         return jax.lax.psum(dD2, axis)
 
     return jax.shard_map(

@@ -261,6 +261,22 @@ class ShardedOperator(Operator):
         return build(self._xs, self._rays, self._off, off2, w,
                      self._block)
 
+    def _sharded_dense(self):
+        """Per-shard dense-slot resolution: the backward envelope sees
+        the LOCAL tile count (tiles_per), so dense dy slots apply to much
+        larger problems than single-device (config #5's 4M rays at D=16
+        is 16 tiles/shard)."""
+        from ..operator import _resolve_dense
+        from ..ops.route import _round_up
+
+        cfg = self.config
+        D = int(self.mesh.devices.size)
+        T = -(-self._nrays // cfg.routed_g)
+        tiles_per = -(-T // D)
+        H = _round_up(max(1, -(-self._flat_size // 128)),
+                      cfg.routed_band_rows)
+        return _resolve_dense(cfg, tiles_per, H, cfg.routed_band_rows)
+
     def _build_sharded_routed(self):
         """Route the crossing tables and split them across the mesh by
         tile range (see parallel/routed_sharded.py)."""
@@ -306,11 +322,13 @@ class ShardedOperator(Operator):
         if cfg.routed_banded and (self._use_pallas or cfg.interpret):
             from .routed_sharded import shard_banded_tables
 
+            df, db = self._sharded_dense()
+            self._sb_dense = (df, db)
             rt8 = build_routed_tables(
                 lin_h, lens_h, self._flat_size,
                 G=cfg.routed_g, SR=cfg.routed_band_rows, KD=cfg.routed_kd)
             fstk, bstk, mf, mb = shard_banded_tables(
-                rt8, D, B=cfg.routed_bands)
+                rt8, D, B=cfg.routed_bands, dense_fwd=df, dense_bwd=db)
             self._sb_ft = put_sharded_tables(fstk, self.mesh)
             self._sb_bt = put_sharded_tables(bstk, self.mesh)
             self._sb_meta, self._sb_metab = mf, mb
@@ -352,10 +370,12 @@ class ShardedOperator(Operator):
         lin = voxel_order_lin(lin, self.grid.vshape, self._vorder)
         t0 = time.time()
         D = int(self.mesh.devices.size)
+        df, db = self._sharded_dense()
+        self._sb_dense = (df, db)
         fstk, bstk, mf, mb, helper = build_banded_device_shards(
             lin, lens, self._flat_size, D, G=cfg.routed_g,
             SR=cfg.routed_band_rows, KD=cfg.routed_kd,
-            B=cfg.routed_bands)
+            B=cfg.routed_bands, dense_fwd=df, dense_bwd=db)
         del lin, lens
         if timing:
             import sys
@@ -416,6 +436,8 @@ class ShardedOperator(Operator):
         ctx = (jax.default_device(dev) if dev is not None
                else contextlib.nullcontext())
         M = self.gs.num_crossings
+        df, db = self._sharded_dense()
+        self._sb_dense = (df, db)
         fts, bts = [], []
         for d in local_ids:
             lo, hi = d * rays_per, min((d + 1) * rays_per, n)
@@ -452,7 +474,8 @@ class ShardedOperator(Operator):
                                         self._vorder)
             ft, bt = banded_shard_local(
                 lin_d, lens_d, self._flat_size, tiles_per,
-                G=G, SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B)
+                G=G, SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B,
+                dense_fwd=df, dense_bwd=db)
             fts.append(ft)
             bts.append(bt)
 
@@ -521,6 +544,7 @@ class ShardedOperator(Operator):
             from ..ops.trace import voxel_order_flat
             from .routed_sharded import sharded_banded_project
 
+            df, db = getattr(self, "_sb_dense", (False, False))
             outs = []
             for i in range(flat2.shape[0]):
                 d2 = self._sb_rt8.pad_density(voxel_order_flat(
@@ -528,7 +552,9 @@ class ShardedOperator(Operator):
                 y = sharded_banded_project(
                     self.mesh, self._sb_ft, self._sb_bt, self._sb_meta,
                     self._sb_metab, self._sb_B, d2,
-                    interpret=bool(self.config.interpret))
+                    interpret=bool(self.config.interpret),
+                    dense_fwd=df, dense_bwd=db,
+                    srb=self.config.routed_band_rows)
                 outs.append(y.reshape(-1)[: self._nrays])
             out = jnp.stack(outs)
         elif self._sharded_routed:
@@ -575,7 +601,10 @@ class ShardedOperator(Operator):
                 ).reshape(D * meta.T, meta.HI, LANES)
                 d2 = sharded_banded_backproject(
                     self.mesh, self._sb_bt, meta, self._sb_B, yf,
-                    interpret=bool(self.config.interpret))
+                    interpret=bool(self.config.interpret),
+                    dense_bwd=getattr(self, "_sb_dense",
+                                      (False, False))[1],
+                    srb=self.config.routed_band_rows)
                 from ..ops.trace import voxel_order_unflat
 
                 outs.append(voxel_order_unflat(

@@ -147,6 +147,25 @@ def test_dense_operator_transpose_and_grad(setup):
                       float(jnp.vdot(x, op_d.T(y_ref))), rtol=1e-4)
 
 
+def test_dense_sharded_operator(setup):
+    """ShardedOperator resolves dense per shard (local tile count) and
+    matches the XLA oracle on the 8-device CPU mesh."""
+    from sph_raytracer_tpu.parallel import ShardedOperator, make_mesh
+
+    grid, geom, _, op, x, _, _ = setup
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
+                      routed_chunk_multiple=CM)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    assert getattr(sop, "_sb_dense", None) == (True, True)
+    y_ref = op(x)
+    assert np.allclose(np.asarray(sop(x)), np.asarray(y_ref), atol=1e-4)
+    g_ref = jax.grad(lambda d: jnp.mean((op(d) - y_ref) ** 2))(x)
+    g_s = jax.grad(lambda d: jnp.mean((sop(d) - y_ref) ** 2))(x)
+    assert np.allclose(np.asarray(g_s), np.asarray(g_ref), atol=1e-5)
+    assert np.allclose(np.asarray(sop.T(y_ref)), np.asarray(op.T(y_ref)),
+                       atol=1e-4)
+
+
 def test_dense_resolution_envelopes():
     """_resolve_dense honors the VMEM envelopes and explicit modes."""
     from sph_raytracer_tpu.operator import _resolve_dense
