@@ -105,15 +105,17 @@ class TraceConfig:
     # to host-built ones (tested).
     routed_build: str = "auto"
     # dense-slot banded layouts (route.band_pack_dense): 'auto' enables
-    # the dense FORWARD (slot = density window; the band windows become
-    # one resident (H,128) input — no per-band window DMAs) whenever the
-    # density has ≤1024 rows, and the dense BACKWARD (slot = ray tile;
-    # the whole dy array becomes one resident input — no per-band dy
-    # blocks re-fetched per (tile, window) pair) whenever the tile count
-    # is ≤96.  'off' keeps the classic pointer-banded kernels; 'fwd' /
-    # 'bwd' / 'both' force sides (still envelope-clamped).  Dense slots
-    # pay dummy table rows for (tile, window) pairs with no crossings —
-    # orbit tomography geometries are ~100% dense.
+    # the dense BACKWARD (slot = ray tile; the whole (T,HI,128) dy array
+    # becomes one resident input — no per-band dy blocks re-fetched per
+    # (tile, window) pair) whenever the tile count is ≤96.  The dense
+    # FORWARD (slot = density window; the band windows become the whole
+    # (H,128) density — no per-band window DMAs) exists behind
+    # 'fwd'/'both' but is NOT in auto: rep skew across density windows
+    # makes it pad every tile to its hottest window's rep count
+    # (measured flagship: 66% dummy slots, fwd 2.2x slower), while the
+    # dense bwd pads per window over the rep-uniform tiles of an orbit
+    # and stays ~85-100% live.  'off' keeps the classic pointer-banded
+    # kernels everywhere; all modes are VMEM-envelope-clamped.
     routed_dense: str = "auto"
     # voxel linearization the ROUTED engine's tables are built in: 'a' =
     # the canonical azimuth-innermost C-order of (r, e, a) — the

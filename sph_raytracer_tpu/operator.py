@@ -966,7 +966,13 @@ def _resolve_dense(cfg, T: int, H: int, SRb: int):
     fit_f = H <= 1024
     fit_b = T <= 96 and SRb * T <= 1024
     if mode == "auto":
-        return fit_f, fit_b
+        # bwd only: rep skew sits across density WINDOWS (hot voxel rows
+        # spill to many reps), so the dense fwd pads every tile to its
+        # hottest window's rep count (measured flagship: 66% dummy slots,
+        # fwd 2.2x slower) while the dense bwd — padding per window over
+        # the rep-uniform TILES of a symmetric orbit — stays ~85-100%
+        # live.  Force 'fwd'/'both' to override for atypical geometries.
+        return False, fit_b
     return (mode in ("fwd", "both") and fit_f,
             mode in ("bwd", "both") and fit_b)
 

@@ -131,11 +131,11 @@ def test_dense_device_build_bit_identical(setup):
 
 
 def test_dense_operator_transpose_and_grad(setup):
-    """Full Operator with dense slots (auto at this scale): forward,
+    """Full Operator with dense slots forced on both sides: forward,
     gradient, adjoint identity vs the XLA oracle."""
     grid, geom, _, op, x, _, _ = setup
     cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
-                      routed_chunk_multiple=CM)
+                      routed_chunk_multiple=CM, routed_dense="both")
     op_d = Operator(grid, geom, config=cfg)
     assert op_d._dense == (True, True)
     y_ref = op(x)
@@ -156,7 +156,7 @@ def test_dense_sharded_operator(setup):
     cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
                       routed_chunk_multiple=CM)
     sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
-    assert getattr(sop, "_sb_dense", None) == (True, True)
+    assert getattr(sop, "_sb_dense", None) == (False, True)  # auto = bwd
     y_ref = op(x)
     assert np.allclose(np.asarray(sop(x)), np.asarray(y_ref), atol=1e-4)
     g_ref = jax.grad(lambda d: jnp.mean((op(d) - y_ref) ** 2))(x)
@@ -170,14 +170,15 @@ def test_dense_resolution_envelopes():
     """_resolve_dense honors the VMEM envelopes and explicit modes."""
     from sph_raytracer_tpu.operator import _resolve_dense
 
-    assert _resolve_dense(TraceConfig(), 10, 512, 8) == (True, True)
-    assert _resolve_dense(TraceConfig(), 245, 984, 8) == (True, False)
+    assert _resolve_dense(TraceConfig(), 10, 512, 8) == (False, True)
+    assert _resolve_dense(TraceConfig(), 245, 984, 8) == (False, False)
     assert _resolve_dense(TraceConfig(), 10, 8192, 8) == (False, True)
     off = TraceConfig(routed_dense="off")
     assert _resolve_dense(off, 10, 512, 8) == (False, False)
     fwd = TraceConfig(routed_dense="fwd")
     assert _resolve_dense(fwd, 10, 512, 8) == (True, False)
     both = TraceConfig(routed_dense="both")
+    assert _resolve_dense(both, 10, 512, 8) == (True, True)
     assert _resolve_dense(both, 245, 8192, 8) == (False, False)  # clamped
     with pytest.raises(ValueError):
         _resolve_dense(TraceConfig(routed_dense="bogus"), 1, 8, 8)
