@@ -214,6 +214,9 @@ class Operator:
             raise ValueError(
                 f"routed_voxel_order={config.routed_voxel_order!r} "
                 "(want 'a' or 'r')")
+        if config.routed_dense not in ("auto", "off", "fwd", "bwd", "both"):
+            raise ValueError(f"routed_dense={config.routed_dense!r} "
+                             "(want auto/off/fwd/bwd/both)")
         self._vorder = (config.routed_voxel_order if mode == "routed"
                         else "a")
 
@@ -252,6 +255,21 @@ class Operator:
                     self.lin = self.lens = None
                 else:
                     self._build_routed()
+
+    # ------------------------------------------------------------------
+    def _dense_flags(self, tile_count=None):
+        """(dense_fwd, dense_bwd) for this operator's routed build; the
+        T/H formulas must mirror the router's (route.py /
+        route_device.py).  Per-shard callers pass their LOCAL tile
+        count."""
+        cfg = self.config
+        from .ops.route import _round_up
+
+        T = (tile_count if tile_count is not None
+             else -(-self._nrays // cfg.routed_g))
+        H = _round_up(max(1, -(-self._flat_size // 128)),
+                      cfg.routed_band_rows)
+        return _resolve_dense(cfg, T, H, cfg.routed_band_rows)
 
     # ------------------------------------------------------------------
     def _apply_offsets(self, lin, lens, rows=None):
@@ -489,13 +507,10 @@ class Operator:
         t0 = time.time()
         B = cfg.routed_bands
         lin = voxel_order_lin(lin, self.grid.vshape, self._vorder)
-        from .ops.route import _round_up
-
-        Tt = -(-self._nrays // cfg.routed_g)
-        Hh = _round_up(max(1, -(-self._flat_size // 128)),
-                       cfg.routed_band_rows)
-        df, db = _resolve_dense(cfg, Tt, Hh, cfg.routed_band_rows)
-        ft, meta, btd, metab, helper = build_banded_device(
+        df, db = self._dense_flags()
+        if db and cfg.routed_dense == "auto":
+            db = "auto"  # rep-skew gate runs on the routed chunk stats
+        ft, meta, btd, metab, helper, (df, db) = build_banded_device(
             lin, lens, self._flat_size, G=cfg.routed_g,
             SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B,
             chunk_multiple=cfg.routed_chunk_multiple,
@@ -656,15 +671,13 @@ class Operator:
                 th.update(np.ascontiguousarray(self._time_off2).tobytes())
                 th.update(np.ascontiguousarray(self._time_w).tobytes())
             tkey = f"{self._flat_size}-{th.hexdigest()[:16]}"
-        from .ops.route import _round_up
-
-        Tt = -(-self._nrays // cfg.routed_g)
-        Hh = _round_up(max(1, -(-self._flat_size // 128)),
-                       cfg.routed_band_rows)
-        df, db = _resolve_dense(cfg, Tt, Hh, cfg.routed_band_rows)
+        df, db = self._dense_flags()
         vtag = "" if self._vorder == "a" else f"/vo-{self._vorder}"
-        if df or db:
-            vtag += f"/dense-{int(df)}{int(db)}"
+        if cfg.routed_dense != "off":
+            # tag by MODE, not decision: under 'auto' the final call is
+            # data-aware (rep-skew gate after routing) and the cached
+            # tables self-describe their layout via the `slots` field
+            vtag += f"/dense-{cfg.routed_dense}"
         cache = self._trace_cache_path(
             suffix=f"banded/{cfg.routed_g}/{cfg.routed_band_rows}/"
                    f"{cfg.routed_kd}/{B}/{cfg.routed_chunk_multiple}/"
@@ -675,17 +688,25 @@ class Operator:
             from .ops.route import load_banded_pair
 
             btF, btB = load_banded_pair(cache)
+            # the stored layout IS the decision ('auto' gates on data)
+            df = btF.slots == "dense"
+            db = btB.slots == "dense"
             if timing:
                 import sys
 
                 print(f"[timing] banded-table cache hit "
                       f"{time.time() - t0:.1f}s", file=sys.stderr)
         else:
-            from .ops.route import band_pack_dense
+            from .ops.route import band_pack_dense, dense_slot_rows_ok
 
             rt8 = build_routed_tables(
                 lin_h, lens_h, self._flat_size,
                 G=cfg.routed_g, SR=cfg.routed_band_rows, KD=cfg.routed_kd)
+            if db and cfg.routed_dense == "auto":
+                # rep-skew gate: dense slots pad each window to its
+                # hottest tile's rep count (see dense_slot_rows_ok)
+                db = dense_slot_rows_ok(
+                    rt8.sg, rt8.tile, rt8.H // rt8.SR, rt8.T, B)
             btF = (band_pack_dense(
                        rt8, by="tile",
                        chunk_multiple=cfg.routed_chunk_multiple) if df

@@ -683,6 +683,10 @@ class BandedTables:
     volume_size: int
     scan_fwd: int
     scan_bwd: int
+    # slot layout: "pack" (classic pointer-banded) or "dense" (slot index
+    # = the band's other coordinate; see band_pack_dense).  Carried so
+    # cached tables self-describe which kernel consumes them.
+    slots: str = "pack"
 
     @property
     def d2_shape(self):
@@ -825,8 +829,11 @@ def band_pack_dense(rt: RoutedTables, by: str = "tile",
 
     Bands of the same (tile, window) beyond the first (rep spills) go to
     follow-up superchunks of the same key, so aliased-output revisits
-    stay consecutive.  B is implied (= H//SRb or T); the ``bp`` pointer
-    array is still emitted (bp[k] = k) for layout-agnostic consumers.
+    stay consecutive.  B is implied (= H//SRb or T); a ``bp`` pointer
+    array is still emitted (bp[k] = k on REAL superchunks) so the shape
+    contract matches the classic layout, but the dense kernels never
+    read it and shard-padding paths may zero-fill it on padded
+    superchunks — consumers must index by slot, not bp.
     """
     SRb = rt.SR
     NC = rt.NC
@@ -839,7 +846,8 @@ def band_pack_dense(rt: RoutedTables, by: str = "tile",
         key_c, slot_c = rt.sg, rt.tile
         order = rt.bwd_order.astype(np.int64)
     if NC == 0 or rt.n_live == 0:
-        return _empty_banded(rt, nslots, by, chunk_multiple)
+        return dataclasses.replace(
+            _empty_banded(rt, nslots, by, chunk_multiple), slots="dense")
     lay = _dense_layout(order, key_c[order], slot_c[order], nkeys, nslots,
                         chunk_multiple)
     srcband, keyp, NCBp, NCB_real, pos = (
@@ -882,8 +890,34 @@ def band_pack_dense(rt: RoutedTables, by: str = "tile",
         covered=covered,
         NCB=NCBp, B=B, SRb=SRb, KD=rt.KD, G=rt.G, HI=rt.HI, T=rt.T,
         H=rt.H, n_rays=rt.n_rays, volume_size=rt.volume_size,
-        scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,
+        scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd, slots="dense",
     )
+
+
+def dense_slot_rows_ok(key, slot, nkeys, nslots, B, threshold=1.25):
+    """Whether a dense-slot layout's table rows stay within ``threshold``
+    of the classic pointer-banded packing's — the data-aware gate for
+    ``routed_dense='auto'``.
+
+    Classic rows scale with the live band count padded per key group to a
+    B multiple; dense rows with ``Σ_key max_slot reps(key, slot)·nslots``.
+    Rep skew across slots (e.g. hot density windows in the forward
+    grouping, or non-uniform ray tiles in few-view geometries) inflates
+    the dense layout: measured v5e flagship bwd ratio 1.08 (step 4.41 →
+    4.02 ms), vol100 1.14 (equal), config5 3.26 (17.5 vs 11.75 ms).
+    """
+    key = np.asarray(key, np.int64)
+    slot = np.asarray(slot, np.int64)
+    if key.size == 0:
+        return True
+    counts = np.bincount(key, minlength=nkeys)
+    classic_rows = int((-(-counts // B) * B).sum())
+    # superchunks per key = max reps over its slots
+    upair, pc = np.unique(key * nslots + slot, return_counts=True)
+    repmax = np.zeros(nkeys, np.int64)
+    np.maximum.at(repmax, upair // nslots, pc)
+    dense_rows = int(repmax.sum()) * nslots
+    return dense_rows <= threshold * max(classic_rows, 1)
 
 
 def _dense_layout(order, key_sorted, slot_sorted, nkeys, nslots,
@@ -967,9 +1001,13 @@ def load_banded_pair(path: str):
             s = os.path.join(path, f"{pfx}s_{fld.name}.npy")
             if os.path.exists(a):
                 kw[fld.name] = np.load(a, mmap_mode="r")
-            else:
+            elif os.path.exists(s):
                 v = np.load(s)
                 kw[fld.name] = str(v) if v.dtype.kind == "U" else int(v)
+            elif fld.default is not dataclasses.MISSING:
+                kw[fld.name] = fld.default  # field newer than the cache
+            else:
+                raise FileNotFoundError(s)
         return BandedTables(**kw)
     return mk("f"), mk("b")
 

@@ -445,9 +445,10 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
     nlive = int(nlive)  # host sync 1
     tick("classify", w)
     if nlive == 0:
+        # 'auto' resolves to classic on an empty build
         return _empty_core(SR, KD, G, HI, T, H, R, volume_size,
-                           H // SR if dense_fwd else B,
-                           T if dense_bwd else B, chunk_multiple)
+                           H // SR if dense_fwd is True else B,
+                           T if dense_bwd is True else B, chunk_multiple)
     npad = min(_round_up(nlive, npad_multiple), R * M)
     rowkey, p, lv, w = _stage_compact(khi, klo, rowkey, p, lv, w, npad,
                                       exact=(npad == nlive))
@@ -487,9 +488,15 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
     # pure-dead chunks (all slots from npad padding) are dropped from the
     # band layout — their fills park past the table end (mode='drop'), so
     # the produced layout matches the host router's exactly
-    from .route import _dense_layout
+    from .route import _dense_layout, dense_slot_rows_ok
 
     live_ids = np.flatnonzero(live_h)
+    if dense_fwd == "auto":
+        dense_fwd = dense_slot_rows_ok(tile_h[live_ids], sg_h[live_ids],
+                                       T, H // SR, B)
+    if dense_bwd == "auto":
+        dense_bwd = dense_slot_rows_ok(sg_h[live_ids], tile_h[live_ids],
+                                       H // SR, T, B)
     Bf = H // SR if dense_fwd else B
     Bb = T if dense_bwd else B
     if dense_fwd:
@@ -507,11 +514,15 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
         bwd = _band_layout(bwd_order, sg_h[bwd_order], H // SR, B,
                            chunk_multiple)
 
-    def scalars(lay, other, Bs):
+    def scalars(lay, other, Bs, dense=False):
         sb, keyp, NCB = lay["sb"], lay["keyp"], lay["NCB"]
         dummy = sb < 0
         sbs = np.where(dummy, 0, sb)
-        bp = np.where(dummy, 0, other[sbs]).reshape(NCB, Bs).T
+        if dense:  # the slot index IS the pointer (kernels never read it)
+            bp = np.broadcast_to(
+                np.arange(Bs, dtype=np.int32)[:, None], (Bs, NCB))
+        else:
+            bp = np.where(dummy, 0, other[sbs]).reshape(NCB, Bs).T
         km = np.where(dummy, 0, kmax_h[sbs]).reshape(NCB, Bs).max(axis=1)
         sf = np.where(dummy, 0, sdf_h[sbs]).reshape(NCB, Bs).max(axis=1)
         sbd = np.where(dummy, 0, sdb_h[sbs]).reshape(NCB, Bs).max(axis=1)
@@ -522,16 +533,10 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
                 km.astype(np.int32), sf.astype(np.int32),
                 sbd.astype(np.int32), first.astype(np.int32))
 
-    f_bp, f_keyp, f_km, f_sf, f_sb, f_first = scalars(fwd, sg_h, Bf)
-    b_bp, b_keyp, b_km, b_sf, b_sb, b_first = scalars(bwd, tile_h, Bb)
-    # dense slots: the slot index IS the pointer; emit bp[k] = k on dummy
-    # slots too, matching band_pack_dense (kernels never read dense bp)
-    if dense_fwd:
-        f_bp = np.broadcast_to(
-            np.arange(Bf, dtype=np.int32)[:, None], f_bp.shape).copy()
-    if dense_bwd:
-        b_bp = np.broadcast_to(
-            np.arange(Bb, dtype=np.int32)[:, None], b_bp.shape).copy()
+    f_bp, f_keyp, f_km, f_sf, f_sb, f_first = scalars(
+        fwd, sg_h, Bf, dense=dense_fwd)
+    b_bp, b_keyp, b_km, b_sf, b_sb, b_first = scalars(
+        bwd, tile_h, Bb, dense=dense_bwd)
 
     f_slot = jnp.asarray(_slot_of_chunk(fwd, NC, Bf))
     b_slot = jnp.asarray(_slot_of_chunk(bwd, NC, Bb))
@@ -560,6 +565,7 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
         cov_f=_covered(tile_h[live_ids], T),
         cov_b=_covered(sg_h[live_ids], H // SR),
         NCBf=fwd["NCB"], NCBb=bwd["NCB"], Bf=Bf, Bb=Bb,
+        dense_fwd=bool(dense_fwd), dense_bwd=bool(dense_bwd),
         scan_fwd=scan_fwd, scan_bwd=scan_bwd,
         T=T, H=H, HI=HI, R=R)
 
@@ -579,13 +585,15 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
         npad_multiple: live-crossing padding granularity (compile-cache
             bucketing; 1 = exact, used by the bit-parity tests).
         dense_fwd / dense_bwd: dense-slot layouts per side (the device
-            analog of route.band_pack_dense); B applies to classic sides
-            only.
+            analog of route.band_pack_dense); ``"auto"`` applies the
+            rep-skew gate (route.dense_slot_rows_ok) to the routed chunk
+            stats.  B applies to classic sides only.
 
     Returns:
-        (ft, meta, btd, metab, helper): BandedDeviceFwd / BandedDeviceBwd
-        device tables + their RoutedMeta, plus a :class:`DevicePadHelper`
-        providing pad_density/unpad_density.
+        (ft, meta, btd, metab, helper, (dense_fwd, dense_bwd)):
+        BandedDeviceFwd / BandedDeviceBwd device tables + their
+        RoutedMeta, a :class:`DevicePadHelper`, and the RESOLVED dense
+        flags (what 'auto' chose).
     """
     from .routed_project import (
         BandedDeviceBwd,
@@ -617,7 +625,8 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
         p2=p2(bsc, "sdb"), covered=jnp.asarray(c["cov_b"]))
     metab = RoutedMeta(c["NCBb"], SR * c["Bb"], KD, G, HI, T, H, R,
                        volume_size, c["scan_fwd"], c["scan_bwd"])
-    return ft, meta, btd, metab, DevicePadHelper(H, volume_size)
+    return (ft, meta, btd, metab, DevicePadHelper(H, volume_size),
+            (c["dense_fwd"], c["dense_bwd"]))
 
 
 def _empty_core(SR, KD, G, HI, T, H, R, volume_size, Bf, Bb,
@@ -641,5 +650,6 @@ def _empty_core(SR, KD, G, HI, T, H, R, volume_size, Bf, Bb,
                  first=btB.first),
         cov_f=btF.covered, cov_b=btB.covered,
         NCBf=btF.NCB, NCBb=btB.NCB, Bf=Bf, Bb=Bb,
+        dense_fwd=False, dense_bwd=False,
         scan_fwd=btF.scan_fwd, scan_bwd=btB.scan_bwd,
         T=T, H=H, HI=HI, R=R)

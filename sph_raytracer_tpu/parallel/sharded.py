@@ -262,20 +262,19 @@ class ShardedOperator(Operator):
                      self._block)
 
     def _sharded_dense(self):
-        """Per-shard dense-slot resolution: the backward envelope sees
-        the LOCAL tile count (tiles_per), so dense dy slots apply to much
-        larger problems than single-device (config #5's 4M rays at D=16
-        is 16 tiles/shard)."""
-        from ..operator import _resolve_dense
-        from ..ops.route import _round_up
-
-        cfg = self.config
+        """Per-shard dense-slot resolution (forced modes only): the
+        envelope sees the LOCAL tile count (tiles_per).  Under 'auto'
+        sharded builds stay CLASSIC: the single-device rep-skew gate
+        (route.dense_slot_rows_ok) needs the routed chunk stats, which
+        per-shard multi-host builds cannot agree on without an extra
+        collective, and few-view shards are exactly the skewed case the
+        gate exists to reject (measured config5: 3.26x table rows,
+        17.5 vs 11.75 ms/step)."""
+        if self.config.routed_dense == "auto":
+            return False, False
         D = int(self.mesh.devices.size)
-        T = -(-self._nrays // cfg.routed_g)
-        tiles_per = -(-T // D)
-        H = _round_up(max(1, -(-self._flat_size // 128)),
-                      cfg.routed_band_rows)
-        return _resolve_dense(cfg, tiles_per, H, cfg.routed_band_rows)
+        T = -(-self._nrays // self.config.routed_g)
+        return self._dense_flags(tile_count=-(-T // D))
 
     def _build_sharded_routed(self):
         """Route the crossing tables and split them across the mesh by

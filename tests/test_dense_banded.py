@@ -118,7 +118,7 @@ def test_dense_device_build_bit_identical(setup):
         band_pack_dense(rt8, by="tile", chunk_multiple=CM))
     btdH, metabH = banded_device_bwd(
         band_pack_dense(rt8, by="window", chunk_multiple=CM))
-    ft, meta, btd, metab, helper = build_banded_device(
+    ft, meta, btd, metab, helper, _ = build_banded_device(
         jnp.asarray(lin), jnp.asarray(lens), V, G=G, SR=SR, KD=KD, B=B,
         chunk_multiple=CM, npad_multiple=1, dense_fwd=True,
         dense_bwd=True)
@@ -148,15 +148,21 @@ def test_dense_operator_transpose_and_grad(setup):
 
 
 def test_dense_sharded_operator(setup):
-    """ShardedOperator resolves dense per shard (local tile count) and
-    matches the XLA oracle on the 8-device CPU mesh."""
+    """ShardedOperator honors forced dense modes per shard (local tile
+    count) and matches the XLA oracle on the 8-device CPU mesh; 'auto'
+    stays classic for sharded builds."""
     from sph_raytracer_tpu.parallel import ShardedOperator, make_mesh
 
     grid, geom, _, op, x, _, _ = setup
+    auto = ShardedOperator(grid, geom, mesh=make_mesh(),
+                           config=TraceConfig(mode="routed", interpret=True,
+                                              routed_g=G,
+                                              routed_chunk_multiple=CM))
+    assert auto._sb_dense == (False, False)  # auto = classic when sharded
     cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
-                      routed_chunk_multiple=CM)
+                      routed_chunk_multiple=CM, routed_dense="both")
     sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
-    assert getattr(sop, "_sb_dense", None) == (False, True)  # auto = bwd
+    assert getattr(sop, "_sb_dense", None) == (True, True)
     y_ref = op(x)
     assert np.allclose(np.asarray(sop(x)), np.asarray(y_ref), atol=1e-4)
     g_ref = jax.grad(lambda d: jnp.mean((op(d) - y_ref) ** 2))(x)
@@ -164,6 +170,38 @@ def test_dense_sharded_operator(setup):
     assert np.allclose(np.asarray(g_s), np.asarray(g_ref), atol=1e-5)
     assert np.allclose(np.asarray(sop.T(y_ref)), np.asarray(op.T(y_ref)),
                        atol=1e-4)
+
+
+def test_dense_rows_gate():
+    """dense_slot_rows_ok accepts rep-uniform layouts and rejects
+    rep-skewed ones (the measured config5 failure mode)."""
+    from sph_raytracer_tpu.ops.route import dense_slot_rows_ok
+
+    key = np.repeat(np.arange(4), 3)
+    slot = np.tile(np.arange(3), 4)
+    assert dense_slot_rows_ok(key, slot, 4, 3, B=3)
+    # one hot (key, slot) pair with 10 extra reps: every superchunk of
+    # key 0 pads all 3 slots -> dense rows blow past 1.25x classic
+    key2 = np.r_[key, np.zeros(10, np.int64)]
+    slot2 = np.r_[slot, np.zeros(10, np.int64)]
+    assert not dense_slot_rows_ok(key2, slot2, 4, 3, B=3)
+
+
+def test_dense_cache_self_describes(tmp_path, monkeypatch):
+    """The banded-table cache records the slot layout; a cache hit
+    restores the dense decision without re-routing."""
+    monkeypatch.setenv("SPH_TPU_TRACE_CACHE", str(tmp_path))
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = ConeRectGeom((6, 7), (3.0, 0.5, 0.4), fov=(45, 45))
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
+                      routed_chunk_multiple=CM, routed_dense="both")
+    op1 = Operator(grid, geom, config=cfg)
+    assert op1._dense == (True, True)
+    op2 = Operator(grid, geom, config=cfg)  # banded-table cache hit
+    assert op2._dense == (True, True)
+    x = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)),
+                    jnp.float32)
+    assert np.allclose(np.asarray(op1(x)), np.asarray(op2(x)))
 
 
 def test_dense_resolution_envelopes():

@@ -64,7 +64,7 @@ def test_device_router_bit_identical(setup, sr, b):
         band_pack(rt8, B=b, by="tile", chunk_multiple=CM))
     btdH, metabH = banded_device_bwd(
         band_pack(rt8, B=b, by="window", chunk_multiple=CM))
-    ft, meta, btd, metab, helper = build_banded_device(
+    ft, meta, btd, metab, helper, _ = build_banded_device(
         jnp.asarray(lin), jnp.asarray(lens), V, G=G, SR=sr, KD=KD, B=b,
         chunk_multiple=CM, npad_multiple=1)
     assert meta == metaH and metab == metabH
@@ -83,7 +83,7 @@ def test_device_router_projection(setup):
 
     grid, geom, lin, lens, op = setup
     V = int(np.prod(grid.vshape))
-    ft, meta, btd, metab, helper = build_banded_device(
+    ft, meta, btd, metab, helper, _ = build_banded_device(
         jnp.asarray(lin), jnp.asarray(lens), V, G=G, SR=SR, KD=KD, B=B,
         chunk_multiple=CM, npad_multiple=1)
     x = jnp.asarray(
@@ -113,7 +113,7 @@ def test_device_router_padded_dead_entries(setup):
 
     grid, geom, lin, lens, op = setup
     V = int(np.prod(grid.vshape))
-    ft, meta, btd, metab, helper = build_banded_device(
+    ft, meta, btd, metab, helper, _ = build_banded_device(
         jnp.asarray(lin), jnp.asarray(lens), V, G=G, SR=SR, KD=KD, B=B,
         chunk_multiple=CM, npad_multiple=4096)
     x = jnp.asarray(
@@ -158,7 +158,7 @@ def test_device_router_empty():
                         fov=(5, 5))
     lin, lens, op = _tables(grid, geom)
     assert (lens == 0).all()
-    ft, meta, btd, metab, helper = build_banded_device(
+    ft, meta, btd, metab, helper, _ = build_banded_device(
         jnp.asarray(lin), jnp.asarray(lens), 64, G=G, SR=SR, KD=KD, B=B,
         chunk_multiple=CM)
     assert int(np.asarray(ft.w).sum()) == 0

@@ -87,7 +87,11 @@ def main():
           file=sys.stderr)
 
     t0 = time.time()
-    sop = ShardedOperator(grid, geom, mesh=make_mesh(1), mode="routed")
+    # routed_dense='off' here too: the sharded side would otherwise
+    # auto-resolve the dense backward and sum in a different slot order
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(1),
+                          config=srt.TraceConfig(mode="routed",
+                                                 routed_dense="off"))
     img = np.asarray(sop(vol))
     print(f"[check] sharded setup {time.time() - t0:.1f}s", file=sys.stderr)
     dfwd = float(np.abs(img - img_ref).max())
