@@ -152,6 +152,15 @@ def main():
              == "DevicePadHelper" else "trace+route+upload")
     print(f"[bench] setup ({build}) {time.time() - t0:.1f}s "
           f"mode={op._mode}", file=sys.stderr)
+    # second build in the same process: the first may pay one-time kernel
+    # compiles through the relay's remote-compile endpoint, whose cache
+    # evicts unpredictably (measured 0.3 s .. 19 min for the SAME stage in
+    # one day) — the warm number is the setup capability, the cold one is
+    # environment luck
+    t0 = time.time()
+    op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
+    print(f"[bench] setup warm ({build}) {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     rng = np.random.default_rng(0)
     density = jnp.asarray(rng.random(tuple(grid.shape)), jnp.float32)
