@@ -88,9 +88,15 @@ def main():
 
     t0 = time.time()
     # routed_dense='off' here too: the sharded side would otherwise
-    # auto-resolve the dense backward and sum in a different slot order
+    # auto-resolve the dense backward and sum in a different slot order.
+    # routed_build='host' likewise: since round 2 the sharded build also
+    # routes on the accelerator by default, and its on-chip ranked trace
+    # rounds f32 differently from the reference's host trace — the
+    # bit-identity claim is about the KERNELS/collectives, so both sides
+    # must consume the same trace.
     sop = ShardedOperator(grid, geom, mesh=make_mesh(1),
                           config=srt.TraceConfig(mode="routed",
+                                                 routed_build="host",
                                                  routed_dense="off"))
     img = np.asarray(sop(vol))
     print(f"[check] sharded setup {time.time() - t0:.1f}s", file=sys.stderr)
