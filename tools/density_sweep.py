@@ -27,14 +27,20 @@ CONFIGS = {
 }
 
 # targeted slice of tune.GRID_CANDIDATES: one axis at a time around the
-# flagship optimum (G=4096, KD=3, B=32)
+# flagship optimum (G=4096, KD=3, B=32), plus the round-3 winners —
+# B=64 (pointer-constant bwd dy slots at B >= T) and the r-inner voxel
+# order (~12% fewer table bytes at 100^3); taller bands (SRb=16)
+# measured a regression on every dense config and are not re-swept
 CANDIDATES = [
     {"routed_g": 4096, "routed_kd": 3, "routed_bands": 32},   # baseline
-    {"routed_g": 4096, "routed_kd": 3, "routed_bands": 16},
     {"routed_g": 4096, "routed_kd": 3, "routed_bands": 64},
-    {"routed_g": 2048, "routed_kd": 3, "routed_bands": 32},
     {"routed_g": 4096, "routed_kd": 2, "routed_bands": 32},
+    {"routed_g": 4096, "routed_kd": 2, "routed_bands": 64},
     {"routed_g": 4096, "routed_kd": 4, "routed_bands": 32},
+    {"routed_g": 4096, "routed_kd": 2, "routed_bands": 64,
+     "routed_voxel_order": "r"},                    # vol100/config5 winner
+    {"routed_g": 4096, "routed_kd": 3, "routed_bands": 32,
+     "routed_voxel_order": "r"},
 ]
 
 
