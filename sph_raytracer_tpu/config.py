@@ -117,6 +117,21 @@ class TraceConfig:
     # and stays ~85-100% live.  'off' keeps the classic pointer-banded
     # kernels everywhere; all modes are VMEM-envelope-clamped.
     routed_dense: str = "auto"
+    # weight-table dtype of the BANDED routed engine: 'f32' (default) or
+    # 'bf16' — stores the per-slot segment lengths (w forward, wp
+    # backward) in bfloat16: ~19% smaller tables per pass at KD=2 (they
+    # are the only non-int8 tables).  A MEMORY-capacity option, not a
+    # speed one: measured on-chip at vol100 the step is unchanged
+    # (9.51 vs 9.49 ms — the kernels are compute/DMA-issue-bound, their
+    # table stream overlaps).  Lossy: weights quantize to 8 mantissa
+    # bits (~0.2-0.4% relative; measured 7e-4 max output change at
+    # 100³), BUT both passes quantize the SAME values, so the operator
+    # stays EXACTLY self-adjoint (<Ax,y> == <x,A'y> to f32 arithmetic)
+    # — CG/ML-EM remain valid on the perturbed operator.  Opt-in: never
+    # chosen by autotune (it changes numerics, not just layout).
+    # Requires 16-row block tiling (SRb·B multiple of 16; tiny configs
+    # fall back to f32 with a warning).
+    routed_w_dtype: str = "f32"
     # voxel linearization the ROUTED engine's tables are built in: 'a' =
     # the canonical azimuth-innermost C-order of (r, e, a) — the
     # reference's layout; 'r' = radius-innermost ((e, a, r) C-order).

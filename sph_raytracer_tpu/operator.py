@@ -217,6 +217,9 @@ class Operator:
         if config.routed_dense not in ("auto", "off", "fwd", "bwd", "both"):
             raise ValueError(f"routed_dense={config.routed_dense!r} "
                              "(want auto/off/fwd/bwd/both)")
+        if config.routed_w_dtype not in ("f32", "bf16"):
+            raise ValueError(f"routed_w_dtype={config.routed_w_dtype!r} "
+                             "(want 'f32' or 'bf16')")
         self._vorder = (config.routed_voxel_order if mode == "routed"
                         else "a")
 
@@ -255,6 +258,22 @@ class Operator:
                     self.lin = self.lens = None
                 else:
                     self._build_routed()
+
+    # ------------------------------------------------------------------
+    def _w_dtype(self, *srb_sizes):
+        """Resolved weight-table dtype for the banded engine (None =
+        keep f32).  bf16 blocks need 16-row tiling; configs whose
+        superchunk heights aren't 16-multiples keep f32."""
+        if self.config.routed_w_dtype != "bf16":
+            return None
+        if any(s % 16 for s in srb_sizes):
+            import warnings
+
+            warnings.warn("routed_w_dtype='bf16' needs 16-row superchunk"
+                          f" tiling (got heights {srb_sizes}); keeping "
+                          "f32 weight tables")
+            return None
+        return jnp.bfloat16
 
     # ------------------------------------------------------------------
     def _dense_flags(self, tile_count=None):
@@ -515,6 +534,10 @@ class Operator:
             SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B,
             chunk_multiple=cfg.routed_chunk_multiple,
             dense_fwd=df, dense_bwd=db)
+        wdt = self._w_dtype(meta.SR, metab.SR)
+        if wdt is not None:
+            ft = ft._replace(w=ft.w.astype(wdt))
+            btd = btd._replace(wp=btd.wp.astype(wdt))
         if timing:
             import sys
 
@@ -731,8 +754,9 @@ class Operator:
                       f"{(btF.table_bytes + btB.table_bytes) / 1e9:.2f} GB "
                       f"banded)", file=sys.stderr)
         t0 = time.time()
-        ft, meta = banded_device_fwd(btF)
-        btd, metab = banded_device_bwd(btB)
+        wdt = self._w_dtype(btF.SRb * btF.B, btB.SRb * btB.B)
+        ft, meta = banded_device_fwd(btF, w_dtype=wdt)
+        btd, metab = banded_device_bwd(btB, w_dtype=wdt)
         if timing:
             import sys
 

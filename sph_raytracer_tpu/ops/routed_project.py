@@ -518,15 +518,20 @@ class BandedDeviceBwd(NamedTuple):
     covered: jax.Array  # (H//8,) int8 — windows with real bands
 
 
-def banded_device_fwd(bt):
-    """Upload forward band tables (bt = band_pack(rt8, by='tile'))."""
+def banded_device_fwd(bt, w_dtype=None):
+    """Upload forward band tables (bt = band_pack(rt8, by='tile')).
+    ``w_dtype`` optionally quantizes the weight table (config
+    routed_w_dtype='bf16' — see config.py for the numerics contract)."""
     assert bt.by == "tile"
     p2 = (bt.first.astype(np.int32)
           | (bt.kmax.astype(np.int32) << 4)
           | (bt.sdf.astype(np.int32) << 8)
           | (bt.keyp.astype(np.int32) << 16))
+    w = jnp.asarray(bt.w)
+    if w_dtype is not None:
+        w = w.astype(w_dtype)
     ft = BandedDeviceFwd(
-        lvw=jnp.asarray(bt.lvw), w=jnp.asarray(bt.w),
+        lvw=jnp.asarray(bt.lvw), w=w,
         rposf=jnp.asarray(bt.rposf), src=jnp.asarray(bt.src),
         hik=jnp.asarray(bt.hik), bp=jnp.asarray(bt.bp),
         p2=jnp.asarray(p2), covered=jnp.asarray(bt.covered))
@@ -536,15 +541,18 @@ def banded_device_fwd(bt):
     return ft, meta
 
 
-def banded_device_bwd(bt):
+def banded_device_bwd(bt, w_dtype=None):
     """Upload backward band tables (bt = band_pack(rt8, by='window'))."""
     assert bt.by == "window"
     p2 = (bt.first.astype(np.int32)
           | (bt.kmax.astype(np.int32) << 4)
           | (bt.sdb.astype(np.int32) << 8)
           | (bt.keyp.astype(np.int32) << 16))
+    wp = jnp.asarray(bt.wp)
+    if w_dtype is not None:
+        wp = wp.astype(w_dtype)
     btd = BandedDeviceBwd(
-        rposb=jnp.asarray(bt.rposb), wp=jnp.asarray(bt.wp),
+        rposb=jnp.asarray(bt.rposb), wp=wp,
         lp8p=jnp.asarray(bt.lp8p), kcolp=jnp.asarray(bt.kcolp),
         hik=jnp.asarray(bt.hik), put=jnp.asarray(bt.put),
         putv=jnp.asarray(bt.putv), bp=jnp.asarray(bt.bp),
