@@ -157,6 +157,8 @@ def main():
     # evicts unpredictably (measured 0.3 s .. 19 min for the SAME stage in
     # one day) — the warm number is the setup capability, the cold one is
     # environment luck
+    del op  # free the first build's tables before the rebuild — holding
+    # both would double peak HBM on capacity-tight configs
     t0 = time.time()
     op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
     print(f"[bench] setup warm ({build}) {time.time() - t0:.1f}s",

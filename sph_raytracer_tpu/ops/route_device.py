@@ -445,10 +445,13 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
     nlive = int(nlive)  # host sync 1
     tick("classify", w)
     if nlive == 0:
-        # 'auto' resolves to classic on an empty build
+        # 'auto' resolves to classic on an empty build; FORCED dense
+        # modes must keep their flags so the caller dispatches the
+        # kernels matching the (dense-shaped) empty tables
         return _empty_core(SR, KD, G, HI, T, H, R, volume_size,
                            H // SR if dense_fwd is True else B,
-                           T if dense_bwd is True else B, chunk_multiple)
+                           T if dense_bwd is True else B, chunk_multiple,
+                           dense_fwd is True, dense_bwd is True)
     npad = min(_round_up(nlive, npad_multiple), R * M)
     rowkey, p, lv, w = _stage_compact(khi, klo, rowkey, p, lv, w, npad,
                                       exact=(npad == nlive))
@@ -630,7 +633,8 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
 
 
 def _empty_core(SR, KD, G, HI, T, H, R, volume_size, Bf, Bb,
-                chunk_multiple):
+                chunk_multiple, dense_fwd: bool = False,
+                dense_bwd: bool = False):
     """Raw pieces of all-dummy tables for an empty shard (no live
     crossings): reuse the host empty-band construction (KB-scale)."""
     from .route import _empty_banded, _empty_tables
@@ -650,6 +654,6 @@ def _empty_core(SR, KD, G, HI, T, H, R, volume_size, Bf, Bb,
                  first=btB.first),
         cov_f=btF.covered, cov_b=btB.covered,
         NCBf=btF.NCB, NCBb=btB.NCB, Bf=Bf, Bb=Bb,
-        dense_fwd=False, dense_bwd=False,
+        dense_fwd=dense_fwd, dense_bwd=dense_bwd,
         scan_fwd=btF.scan_fwd, scan_bwd=btB.scan_bwd,
         T=T, H=H, HI=HI, R=R)

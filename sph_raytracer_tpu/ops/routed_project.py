@@ -527,9 +527,11 @@ def banded_device_fwd(bt, w_dtype=None):
           | (bt.kmax.astype(np.int32) << 4)
           | (bt.sdf.astype(np.int32) << 8)
           | (bt.keyp.astype(np.int32) << 16))
-    w = jnp.asarray(bt.w)
-    if w_dtype is not None:
-        w = w.astype(w_dtype)
+    # cast on the HOST: uploading f32 then casting on-device would double
+    # both the transfer bytes and the transient HBM (the capacity this
+    # option exists to save)
+    w = (jnp.asarray(bt.w) if w_dtype is None
+         else jnp.asarray(np.asarray(bt.w, dtype=jnp.dtype(w_dtype))))
     ft = BandedDeviceFwd(
         lvw=jnp.asarray(bt.lvw), w=w,
         rposf=jnp.asarray(bt.rposf), src=jnp.asarray(bt.src),
@@ -548,9 +550,8 @@ def banded_device_bwd(bt, w_dtype=None):
           | (bt.kmax.astype(np.int32) << 4)
           | (bt.sdb.astype(np.int32) << 8)
           | (bt.keyp.astype(np.int32) << 16))
-    wp = jnp.asarray(bt.wp)
-    if w_dtype is not None:
-        wp = wp.astype(w_dtype)
+    wp = (jnp.asarray(bt.wp) if w_dtype is None
+          else jnp.asarray(np.asarray(bt.wp, dtype=jnp.dtype(w_dtype))))
     btd = BandedDeviceBwd(
         rposb=jnp.asarray(bt.rposb), wp=wp,
         lp8p=jnp.asarray(bt.lp8p), kcolp=jnp.asarray(bt.kcolp),

@@ -261,6 +261,20 @@ class ShardedOperator(Operator):
         return build(self._xs, self._rays, self._off, off2, w,
                      self._block)
 
+    def _cast_w_stacks(self, fstk, bstk, mf, mb):
+        """Apply routed_w_dtype to stacked shard tables in place (the
+        sharded analog of banded_device_fwd/bwd's w_dtype): cast BEFORE
+        device placement so only the small tables cross the wire."""
+        wdt = self._w_dtype(mf.SR, mb.SR)
+        if wdt is None:
+            return
+        dt = jnp.dtype(wdt)
+        w, wp = fstk["w"], bstk["wp"]
+        fstk["w"] = (np.asarray(w, dtype=dt) if isinstance(w, np.ndarray)
+                     else w.astype(dt))
+        bstk["wp"] = (np.asarray(wp, dtype=dt) if isinstance(wp, np.ndarray)
+                      else wp.astype(dt))
+
     def _sharded_dense(self):
         """Per-shard dense-slot resolution (forced modes only): the
         envelope sees the LOCAL tile count (tiles_per).  Under 'auto'
@@ -328,6 +342,7 @@ class ShardedOperator(Operator):
                 G=cfg.routed_g, SR=cfg.routed_band_rows, KD=cfg.routed_kd)
             fstk, bstk, mf, mb = shard_banded_tables(
                 rt8, D, B=cfg.routed_bands, dense_fwd=df, dense_bwd=db)
+            self._cast_w_stacks(fstk, bstk, mf, mb)
             self._sb_ft = put_sharded_tables(fstk, self.mesh)
             self._sb_bt = put_sharded_tables(bstk, self.mesh)
             self._sb_meta, self._sb_metab = mf, mb
@@ -384,6 +399,7 @@ class ShardedOperator(Operator):
             fetch_sync(fstk["w"])
             print(f"[timing] sharded device router {time.time() - t0:.1f}s"
                   f" (NCB={mf.NC}/{mb.NC}, D={D})", file=sys.stderr)
+        self._cast_w_stacks(fstk, bstk, mf, mb)
         self._sb_ft = put_sharded_tables(fstk, self.mesh)
         self._sb_bt = put_sharded_tables(bstk, self.mesh)
         self._sb_meta, self._sb_metab = mf, mb
@@ -492,6 +508,7 @@ class ShardedOperator(Operator):
         fstk, bstk, mf, mb = stack_banded_shards(
             fts, bts, tiles_per, n, ncf=ncf, ncb=ncb,
             scan_fwd=sf, scan_bwd=sb)
+        self._cast_w_stacks(fstk, bstk, mf, mb)
         self._sb_ft = put_sharded_tables_multihost(fstk, self.mesh)
         self._sb_bt = put_sharded_tables_multihost(bstk, self.mesh)
         self._sb_meta, self._sb_metab = mf, mb

@@ -172,6 +172,23 @@ def test_dense_sharded_operator(setup):
                        atol=1e-4)
 
 
+def test_dense_forced_empty_build():
+    """Forced dense modes on an EMPTY build (rays miss the grid) keep
+    dense-shaped tables AND dense flags, so kernel dispatch matches."""
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = ConeRectGeom((4, 4), (100.0, 0.0, 0.0), lookdir=(1, 0, 0),
+                        fov=(1, 1))  # aimed away: zero crossings
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
+                      routed_chunk_multiple=CM, routed_dense="both",
+                      routed_build="device")
+    op = Operator(grid, geom, config=cfg)
+    assert op._dense == (True, True)
+    x = jnp.asarray(np.random.default_rng(0).random(tuple(grid.shape)),
+                    jnp.float32)
+    assert np.allclose(np.asarray(op(x)), 0.0)
+    assert np.allclose(np.asarray(op.T(op(x))), 0.0)
+
+
 def test_dense_rows_gate():
     """dense_slot_rows_ok accepts rep-uniform layouts and rejects
     rep-skewed ones (the measured config5 failure mode)."""

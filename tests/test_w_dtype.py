@@ -72,6 +72,25 @@ def test_bf16_weights_device_build(setup):
                        atol=1e-2 * abs(y32).max())
 
 
+def test_bf16_weights_sharded(setup):
+    """ShardedOperator's banded builds honor routed_w_dtype too."""
+    from sph_raytracer_tpu.parallel import ShardedOperator, make_mesh
+
+    grid, geom, x = setup
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
+                      routed_chunk_multiple=CM, routed_w_dtype="bf16")
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    assert sop._sb_ft["w"].dtype == jnp.bfloat16
+    assert sop._sb_bt["wp"].dtype == jnp.bfloat16
+    y32 = np.asarray(Operator(grid, geom, mode="precomputed",
+                              ftype=jnp.float32)(x))
+    ys = np.asarray(sop(x))
+    assert np.allclose(ys, y32, rtol=2e-2, atol=1e-2 * abs(y32).max())
+    yy = jnp.asarray(ys)
+    g = jax.grad(lambda d: jnp.mean((sop(d) - yy) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_bf16_weights_tiling_fallback():
     """Superchunk heights not divisible by 16 keep f32 (with a warning)."""
     import warnings

@@ -87,8 +87,10 @@ def main():
           file=sys.stderr)
 
     t0 = time.time()
-    # routed_dense='off' here too: the sharded side would otherwise
-    # auto-resolve the dense backward and sum in a different slot order.
+    # routed_dense='off' pinned on BOTH sides (sharded 'auto' already
+    # resolves classic, but the pin documents that the bit-identity
+    # premise requires it — the single-device side's 'auto' picks the
+    # dense backward, which sums in a different slot order).
     # routed_build='host' likewise: since round 2 the sharded build also
     # routes on the accelerator by default, and its on-chip ranked trace
     # rounds f32 differently from the reference's host trace — the
