@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Microbenchmark: routed fwd vs bwd kernel times on the flagship config."""
+"""Microbenchmark: routed fwd vs bwd kernel times (flagship config by
+default; SPH_CONFIG=vol100|config5_shard for the crossing-dense ones).
+Layout via env: SPH_G/SR/KD/BANDS/BR/CM, SPH_VO (voxel order),
+SPH_DENSE (routed_dense), SPH_WDT (routed_w_dtype); SPH_STAGES=1 adds
+the truncated-kernel stage split (classic layouts only)."""
 import os
 import sys
 import time
@@ -23,11 +27,17 @@ def main():
     from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
     from sph_raytracer_tpu.utils.profiling import time_fn
 
-    grid = SphericalGrid(shape=(50, 50, 50))
+    configs = {
+        "flagship": ((50, 50, 50), 50, (50, 100)),
+        "vol100": ((100, 100, 100), 50, (50, 100)),
+        "config5_shard": ((100, 100, 100), 13, (100, 200)),
+    }
+    vshape, nviews, det = configs[os.environ.get("SPH_CONFIG", "flagship")]
+    grid = SphericalGrid(shape=vshape)
     geom = sum(
-        ConeRectGeom((50, 100), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+        ConeRectGeom(det, pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
                      fov=(45, 45))
-        for t in np.linspace(0, 2 * np.pi, 50, endpoint=False)
+        for t in np.linspace(0, 2 * np.pi, nviews, endpoint=False)
     )
     nrays = int(np.prod(geom.shape))
 
@@ -44,6 +54,9 @@ def main():
         routed_chunk_multiple=(
             "auto" if os.environ.get("SPH_CM", "auto") == "auto"
             else int(os.environ["SPH_CM"])),
+        routed_voxel_order=os.environ.get("SPH_VO", "a"),
+        routed_dense=os.environ.get("SPH_DENSE", "auto"),
+        routed_w_dtype=os.environ.get("SPH_WDT", "f32"),
     )
     t0 = time.time()
     op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
@@ -77,6 +90,13 @@ def main():
               f"({nrays/tb/1e6:.1f}M rays/s, {tb/tf:.2f}x fwd)",
               file=sys.stderr)
 
+        if getattr(op, "_dense", (False, False))[1]:
+            # the variant/stage sections below drive the CLASSIC bwd
+            # kernel with B=routed_bands — meaningless on dense tables
+            print("[kbench] bwd is dense-slot; skipping variant/stage "
+                  "split (set SPH_DENSE=off for the classic analysis)",
+                  file=sys.stderr)
+            return
         pad = meta.T * meta.G - nrays
         yt = jnp.concatenate([yf, jnp.zeros((pad,), yf.dtype)]).reshape(
             meta.T, meta.HI, 128)
