@@ -117,8 +117,9 @@ class TraceConfig:
     # and stays ~85-100% live.  'off' keeps the classic pointer-banded
     # kernels everywhere; all modes are VMEM-envelope-clamped.
     routed_dense: str = "auto"
-    # weight-table dtype of the BANDED routed engine: 'f32' (default) or
-    # 'bf16' — stores the per-slot segment lengths (w forward, wp
+    # weight-table dtype of the BANDED routed engine ONLY ('auto'/'routed'
+    # mode with routed_banded=True; other engines warn and keep f32):
+    # 'f32' (default) or 'bf16' — stores the per-slot segment lengths (w fwd, wp
     # backward) in bfloat16: ~19% smaller tables per pass at KD=2 (they
     # are the only non-int8 tables).  A MEMORY-capacity option, not a
     # speed one: measured on-chip at vol100 the step is unchanged

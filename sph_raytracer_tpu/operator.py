@@ -220,6 +220,14 @@ class Operator:
         if config.routed_w_dtype not in ("f32", "bf16"):
             raise ValueError(f"routed_w_dtype={config.routed_w_dtype!r} "
                              "(want 'f32' or 'bf16')")
+        if (config.routed_w_dtype == "bf16"
+                and (mode != "routed" or not config.routed_banded)):
+            import warnings
+
+            warnings.warn(
+                "routed_w_dtype='bf16' only applies to the BANDED routed "
+                f"engine (mode={mode!r}, routed_banded="
+                f"{config.routed_banded}); weight tables stay f32")
         self._vorder = (config.routed_voxel_order if mode == "routed"
                         else "a")
 
@@ -536,8 +544,15 @@ class Operator:
             dense_fwd=df, dense_bwd=db)
         wdt = self._w_dtype(meta.SR, metab.SR)
         if wdt is not None:
-            ft = ft._replace(w=ft.w.astype(wdt))
-            btd = btd._replace(wp=btd.wp.astype(wdt))
+            # donate so each f32 buffer is released as soon as its cast
+            # completes (casting one table at a time bounds the transient
+            # HBM peak at 1.5x the largest w table — the unavoidable
+            # both-copies window of an on-device cast; capacity-tight
+            # builds that cannot afford even that should use
+            # routed_build='host', which casts on the host)
+            cast = jax.jit(lambda a: a.astype(wdt), donate_argnums=0)
+            ft = ft._replace(w=cast(ft.w))
+            btd = btd._replace(wp=cast(btd.wp))
         if timing:
             import sys
 
@@ -1018,6 +1033,23 @@ def _resolve_dense(cfg, T: int, H: int, SRb: int):
         # the rep-uniform TILES of a symmetric orbit — stays ~85-100%
         # live.  Force 'fwd'/'both' to override for atypical geometries.
         return False, fit_b
+    import warnings
+
+    if mode in ("fwd", "both"):
+        warnings.warn(
+            "routed_dense='fwd' is a measured REGRESSION on every config "
+            "benchmarked (v5e flagship fwd 2.23->4.99 ms: rep skew across "
+            "density windows pads ~66% dummy slots; see PERFORMANCE.md "
+            "'Dense-slot layouts').  'auto' never selects it — only force "
+            "it for geometries with uniform per-window rep counts.")
+    clamped = [s for s, fit in (("fwd", fit_f), ("bwd", fit_b))
+               if mode in (s, "both") and not fit]
+    if clamped:
+        warnings.warn(
+            f"routed_dense={mode!r}: forced dense {'/'.join(clamped)} "
+            f"exceeds the VMEM envelope (H={H} rows > 1024 for fwd, "
+            f"T={T} tiles > 96 or SRb*T={SRb * T} > 1024 for bwd); "
+            "falling back to the classic banded kernels for that side")
     return (mode in ("fwd", "both") and fit_f,
             mode in ("bwd", "both") and fit_b)
 

@@ -114,3 +114,17 @@ def test_w_dtype_rejects_unknown():
         Operator(grid, geom,
                  config=TraceConfig(mode="routed", interpret=True,
                                     routed_w_dtype="fp8"))
+
+
+def test_bf16_warns_on_non_banded_path():
+    """routed_w_dtype='bf16' only exists in the banded engine; other
+    modes must warn instead of silently keeping f32 (ADVICE r3)."""
+    grid = SphericalGrid(shape=(4, 4, 4))
+    geom = ConeRectGeom((4, 4), pos=(2, 0, 0.3), fov=(40, 40))
+    with pytest.warns(UserWarning, match="BANDED routed engine"):
+        Operator(grid, geom, config=TraceConfig(
+            mode="precomputed", routed_w_dtype="bf16"))
+    with pytest.warns(UserWarning, match="BANDED routed engine"):
+        Operator(grid, geom, config=TraceConfig(
+            mode="routed", interpret=True, routed_banded=False,
+            routed_w_dtype="bf16"))

@@ -90,12 +90,14 @@ def main():
               f"({nrays/tb/1e6:.1f}M rays/s, {tb/tf:.2f}x fwd)",
               file=sys.stderr)
 
-        if getattr(op, "_dense", (False, False))[1]:
-            # the variant/stage sections below drive the CLASSIC bwd
-            # kernel with B=routed_bands — meaningless on dense tables
-            print("[kbench] bwd is dense-slot; skipping variant/stage "
-                  "split (set SPH_DENSE=off for the classic analysis)",
-                  file=sys.stderr)
+        if any(getattr(op, "_dense", (False, False))):
+            # the variant/stage sections below drive the CLASSIC kernels
+            # with B=routed_bands — meaningless on dense tables on
+            # EITHER side (dense fwd tables have meta.SR == H, which
+            # mis-derives SRb below)
+            print("[kbench] fwd or bwd is dense-slot; skipping variant/"
+                  "stage split (set SPH_DENSE=off for the classic "
+                  "analysis)", file=sys.stderr)
             return
         pad = meta.T * meta.G - nrays
         yt = jnp.concatenate([yf, jnp.zeros((pad,), yf.dtype)]).reshape(
