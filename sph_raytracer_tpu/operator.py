@@ -717,7 +717,7 @@ class Operator:
             # tables self-describe their layout via the `slots` field
             vtag += f"/dense-{cfg.routed_dense}"
         cache = self._trace_cache_path(
-            suffix=f"banded/{cfg.routed_g}/{cfg.routed_band_rows}/"
+            suffix=f"banded-cmc/{cfg.routed_g}/{cfg.routed_band_rows}/"
                    f"{cfg.routed_kd}/{B}/{cfg.routed_chunk_multiple}/"
                    f"{tkey}{vtag}")
         import os

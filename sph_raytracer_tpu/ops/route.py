@@ -752,7 +752,14 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
         chunk_multiple = max(32, 1 << max(0, NCB.bit_length() - 5))
     NCBp = _round_up(max(NCB, 1), chunk_multiple)
 
-    # source band id per packed slot (-1 = dummy)
+    # source band id per packed slot (-1 = dummy).  Within each key
+    # group the (already (other, rep)-sorted) bands fill slots
+    # COLUMN-major — band i of a group with S superchunks goes to
+    # (superchunk i % S, slot i // S) — so consecutive superchunks carry
+    # reps of the SAME other-coordinate at the same slot: their BlockSpec
+    # pointers coincide and the Pallas pipeline skips the repeated
+    # window/dy DMA (the dominant per-band cost; rep fractions measured
+    # 76% flagship / 53% config5 / 23% vol100, tools/densew_study.py).
     nslots = NCBp * B
     srcband = np.full(nslots, -1, np.int64)
     key_of_slot = np.zeros(nslots, np.int64)
@@ -760,7 +767,9 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     start = 0
     for t in range(nkeys):
         c = int(counts[t])
-        srcband[pos: pos + c] = order[start: start + c]
+        S = int(padded[t]) // B
+        i = np.arange(c)
+        srcband[pos + (i % S) * B + i // S] = order[start: start + c]
         key_of_slot[pos: pos + padded[t]] = t
         pos += int(padded[t])
         start += c
@@ -783,6 +792,10 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     # sb holds original chunk ids, so index the unpermuted per-chunk arrays
     otherp = np.where(dummy, 0, (rt.sg if by == "tile" else rt.tile)[sb])
     bp = otherp.reshape(NCBp, B).T.astype(np.int32)
+    # dummy bands fetch *something* (their w/putv are 0, so any window /
+    # dy tile is correct); give them the neighbouring real band's pointer
+    # so their DMA is pipeline-skipped too
+    bp = _fill_dummy_ptrs(bp, dummy.reshape(NCBp, B).T)
     keyp = key_of_slot.reshape(NCBp, B)[:, 0].astype(np.int32)
     first = np.r_[1, (keyp[1:] != keyp[:-1]).astype(np.int32)]
     # grid-padding superchunks repeat the last key: never "first"
@@ -805,6 +818,30 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
         n_rays=rt.n_rays, volume_size=rt.volume_size,
         scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,
     )
+
+
+def _fill_dummy_ptrs(bp, dummy):
+    """Replace dummy-band pointers with the nearest REAL pointer at the
+    same slot (forward fill along the superchunk axis; leading dummies
+    take the next real one).  Dummy bands contribute exact zeros
+    whatever block they fetch; pointer coincidence just lets the
+    pipeline skip the fetch."""
+    Bn, Nn = bp.shape
+    if Nn == 0:
+        return bp
+    ar = np.broadcast_to(np.arange(Nn)[None, :], (Bn, Nn))
+    idx = np.where(dummy, -1, ar)
+    idx = np.maximum.accumulate(idx, axis=1)
+    lead = idx < 0
+    out = bp[np.arange(Bn)[:, None], np.where(lead, 0, idx)]
+    if lead.any():
+        idx2 = np.where(dummy, Nn, ar)
+        idx2 = np.minimum.accumulate(idx2[:, ::-1], axis=1)[:, ::-1]
+        alld = idx2 >= Nn  # slot entirely dummy
+        out = np.where(lead, bp[np.arange(Bn)[:, None],
+                                np.where(alld, 0, idx2)], out)
+        out = np.where(lead & alld, 0, out)
+    return out.astype(np.int32)
 
 
 def band_pack_dense(rt: RoutedTables, by: str = "tile",

