@@ -200,12 +200,25 @@ class Operator:
                     f"ftype={jnp.dtype(config.ftype).name}")
             mode = "precomputed"
         if mode == "fused" and self._time_w is not None:
-            import warnings
+            # time-interpolated 4D runs in the in-kernel Pallas engine
+            # (two density streams + lerp weight per segment); the XLA
+            # blockwise fused path has no doubled-table analog, so
+            # outside the Pallas envelope fall back to precomputed
+            from .ops.fused_pallas import supported
 
-            warnings.warn("fused mode does not support view_times "
-                          "(it re-traces without the doubled table); "
-                          "falling back to mode='precomputed'")
-            mode = "precomputed"
+            pallas_ok = (config.fused_backend != "xla"
+                         and supported(self.gs, self._flat_size)
+                         and (jax.default_backend() == "tpu"
+                              or bool(config.interpret)))
+            if not pallas_ok:
+                import warnings
+
+                warnings.warn(
+                    "fused mode supports view_times only in the "
+                    "in-kernel Pallas engine (unavailable here: "
+                    "fused_backend='xla', non-TPU backend, or outside "
+                    "the envelope); falling back to mode='precomputed'")
+                mode = "precomputed"
         self._mode = mode
         # voxel linearization of the routed tables (config docstring):
         # purely an internal table/density layout — the public surface
@@ -904,11 +917,22 @@ class Operator:
         if self._fused_pallas():
             from .ops.fused_pallas import fused_pallas_project
 
+            off2 = vw = None
+            if self._time_w is not None:
+                off2 = getattr(self, "_off2_dev", None)
+                if off2 is None:
+                    off2 = self._off2_dev = jnp.asarray(
+                        self._time_off2, dtype=self.config.itype)
+                vw = getattr(self, "_vw_dev", None)
+                if vw is None:
+                    vw = self._vw_dev = jnp.asarray(
+                        self._time_w, dtype=jnp.float32)
             out = jnp.stack([
                 fused_pallas_project(
                     self.gs, flat.reshape(-1, self._flat_size)[i],
                     self._xs, self._rays, self.config.itype,
-                    bool(self.config.interpret), view_offsets=off)
+                    bool(self.config.interpret), view_offsets=off,
+                    view_offsets2=off2, view_w=vw)
                 for i in range(int(np.prod(flat.shape[:-1])) or 1)
             ])
             return out.reshape(*flat.shape[:-1], -1)

@@ -135,7 +135,7 @@ def _round16(x: int) -> int:
 
 
 def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full',
-                 dynamic_sweep: bool = False):
+                 dynamic_sweep: bool = False, lerp: bool = False):
     """Build the fused forward kernel for a static grid spec."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -320,8 +320,20 @@ def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full',
         if stage == "code":
             y_ref[0] = jnp.where(valid, code, -1).astype(jnp.float32)
             return
-        drow = code // LANES
-        dlane = code % LANES
+        # time-interpolated 4D (Operator view_times): each segment
+        # contributes to TWO time bins — (1-w)·len at off0 (already in
+        # `code`), w·len at off1 (off row 1); w rides geo row 6.  The
+        # sweeps below just walk a second (row, lane, weight) stream —
+        # the same lerp-as-part-of-the-operator trick as
+        # Operator._apply_offsets, done in-kernel with zero tables.
+        if lerp:
+            wrow = geo[6:7]
+            code1 = code - off_ref[0][0:1] + off_ref[0][1:2]
+            streams = [(code // LANES, code % LANES, wl * (1.0 - wrow)),
+                       (code1 // LANES, code1 % LANES, wl * wrow)]
+        else:
+            streams = [(code // LANES, code % LANES, wl)]
+        drow, dlane = streams[0][0], streams[0][1]
 
         # density fetch: val[i,l] = D2[row[i,l], lane[i,l]] — a general
         # 2D gather the hardware lacks, decomposed per 8-row window into
@@ -332,23 +344,25 @@ def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full',
             acc_scr[:] = jnp.zeros((Mp, LANES), jnp.float32)
             for v in range(Mp // 8):
                 sl = slice(8 * v, 8 * v + 8)
-                wl_s = wl[sl]
-                row_s = drow[sl]
-                lane_s = dlane[sl]
+                gate = wl[sl]
 
-                @pl.when(jnp.any(wl_s > 0))
-                def _sweep(wl_s=wl_s, row_s=row_s, lane_s=lane_s, sl=sl):
+                @pl.when(jnp.any(gate > 0))
+                def _sweep(gate=gate, sl=sl):
                     part = jnp.zeros((8, LANES), jnp.float32)
-                    for qg in range(H // 8):
-                        win = d2_ref[8 * qg: 8 * qg + 8, :]
-                        ridx = row_s - 8 * qg
-                        for w in range(8):
-                            rowvals = jnp.broadcast_to(win[w: w + 1],
-                                                       (8, LANES))
-                            val = jnp.take_along_axis(rowvals, lane_s,
-                                                      axis=1)
-                            part = part + jnp.where(ridx == w,
-                                                    val * wl_s, 0.0)
+                    for row_st, lane_st, wl_st in streams:
+                        wl_s = wl_st[sl]
+                        row_s = row_st[sl]
+                        lane_s = lane_st[sl]
+                        for qg in range(H // 8):
+                            win = d2_ref[8 * qg: 8 * qg + 8, :]
+                            ridx = row_s - 8 * qg
+                            for w in range(8):
+                                rowvals = jnp.broadcast_to(win[w: w + 1],
+                                                           (8, LANES))
+                                val = jnp.take_along_axis(rowvals, lane_s,
+                                                          axis=1)
+                                part = part + jnp.where(ridx == w,
+                                                        val * wl_s, 0.0)
                     acc_scr[sl] = part
         else:
             # big-volume variant: the density stays in HBM (memory_space
@@ -367,10 +381,14 @@ def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full',
                 [jnp.any(wl[8 * GV * g: 8 * GV * (g + 1)] > 0
                          ).astype(jnp.int32)
                  for g in range(Mp // 8 // GV)]).reshape(1, -1)
-            # windows the TILE actually touches: live rows only
-            row_live = jnp.where(wl > 0, drow, 0)
-            hi_pair = jnp.max(row_live) // 16 + 1
-            lo_pair = jnp.min(jnp.where(wl > 0, drow, H - 1)) // 16
+            # windows the TILE actually touches: live rows only (with
+            # lerp, both time bins' rows bound the walk)
+            hi_pair = jnp.max(jnp.stack(
+                [jnp.max(jnp.where(wl > 0, rs, 0))
+                 for rs, _, _ in streams])) // 16 + 1
+            lo_pair = jnp.min(jnp.stack(
+                [jnp.min(jnp.where(wl > 0, rs, H - 1))
+                 for rs, _, _ in streams])) // 16
 
             def dma(slot, qg):
                 return pltpu.make_async_copy(
@@ -383,15 +401,16 @@ def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full',
 
                     @pl.when(live_g[0, g] > 0)
                     def _sw(sl=sl, win=win, base=base):
-                        ridx = drow[sl] - base
                         part = jnp.zeros((8 * GV, LANES), jnp.float32)
-                        for w in range(8):
-                            rowvals = jnp.broadcast_to(
-                                win[w: w + 1], (8 * GV, LANES))
-                            val = jnp.take_along_axis(
-                                rowvals, dlane[sl], axis=1)
-                            part = part + jnp.where(
-                                ridx == w, val * wl[sl], 0.0)
+                        for row_st, lane_st, wl_st in streams:
+                            ridx = row_st[sl] - base
+                            for w in range(8):
+                                rowvals = jnp.broadcast_to(
+                                    win[w: w + 1], (8 * GV, LANES))
+                                val = jnp.take_along_axis(
+                                    rowvals, lane_st[sl], axis=1)
+                                part = part + jnp.where(
+                                    ridx == w, val * wl_st[sl], 0.0)
                         acc_scr[sl] += part
 
             dma(0, 2 * lo_pair).start()
@@ -421,15 +440,17 @@ def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full',
     return kernel
 
 
-@partial(jax.jit, static_argnames=("gs", "H", "interpret", "stage"))
+@partial(jax.jit, static_argnames=("gs", "H", "interpret", "stage",
+                                   "lerp"))
 def _fused_pallas_call(gs: GridSpec, d2, geo, off, H: int,
-                       interpret: bool = False, stage: str = "full"):
+                       interpret: bool = False, stage: str = "full",
+                       lerp: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     Mp = _pow2(gs.num_crossings)
     dyn = _needs_dynamic(H, Mp)
-    kernel = _make_kernel(gs, H, Mp, stage, dynamic_sweep=dyn)
+    kernel = _make_kernel(gs, H, Mp, stage, dynamic_sweep=dyn, lerp=lerp)
     bc = jnp.asarray(_boundary_const(gs))
     BR = bc.shape[0]
     T = geo.shape[0]
@@ -459,9 +480,12 @@ def _fused_pallas_call(gs: GridSpec, d2, geo, off, H: int,
     )(geo, off, bc, d2)
 
 
-def _prep_geo(xs, rays, view_offsets, itype):
+def _prep_geo(xs, rays, view_offsets, itype, view_offsets2=None,
+              view_w=None):
     """Flatten/pad rays to 128-multiples and transpose into per-tile
-    (8, 128) geometry blocks (rows: xs xyz, ray xyz, pad)."""
+    (8, 128) geometry blocks (rows: xs xyz, ray xyz, lerp weight, pad).
+    ``view_offsets2``/``view_w`` carry the time-interpolated 4D second
+    bin: off row 1 and geo row 6."""
     shape = jnp.broadcast_shapes(xs.shape, rays.shape)
     xs = jnp.broadcast_to(xs, shape).reshape(-1, 3)
     rays = jnp.broadcast_to(rays, shape).reshape(-1, 3)
@@ -481,20 +505,31 @@ def _prep_geo(xs, rays, view_offsets, itype):
         xs.reshape(T, LANES, 3).transpose(0, 2, 1))
     geo = geo.at[:, 3:6].set(
         rays.reshape(T, LANES, 3).transpose(0, 2, 1))
+    if view_w is not None:
+        w = jnp.asarray(view_w, jnp.float32).reshape(-1)
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+        geo = geo.at[:, 6].set(w.reshape(T, LANES))
     off = jnp.zeros((T, 8, LANES), jnp.int32)
     if view_offsets is not None:
         o = jnp.asarray(view_offsets, itype).reshape(-1)
         o = jnp.concatenate([o, jnp.zeros((pad,), o.dtype)])
         off = off.at[:, 0].set(o.reshape(T, LANES).astype(jnp.int32))
+    if view_offsets2 is not None:
+        o2 = jnp.asarray(view_offsets2, itype).reshape(-1)
+        o2 = jnp.concatenate([o2, jnp.zeros((pad,), o2.dtype)])
+        off = off.at[:, 1].set(o2.reshape(T, LANES).astype(jnp.int32))
     return geo, off, n, shape[:-1]
 
 
 def _bwd_blockwise(gs: GridSpec, g_flat, xs, rays, off_flat, n_flat,
-                   itype, block=4096):
+                   itype, block=4096, off2_flat=None, w_flat=None):
     """dD for the fused forward: re-trace in XLA blockwise + scatter-add
-    (the checkpointing transpose — no residuals were stored)."""
+    (the checkpointing transpose — no residuals were stored).  With
+    ``off2_flat``/``w_flat`` (time-interpolated 4D) each crossing
+    scatters into both time bins with lerp weights."""
     from .trace import pack_linear, trace_crossings
 
+    lerp = off2_flat is not None
     n = xs.shape[0]
     pad = (-n) % block
     if pad:
@@ -508,26 +543,40 @@ def _bwd_blockwise(gs: GridSpec, g_flat, xs, rays, off_flat, n_flat,
             [g_flat, jnp.zeros((pad,), g_flat.dtype)])
         off_flat = jnp.concatenate(
             [off_flat, jnp.zeros((pad,), off_flat.dtype)])
+        if lerp:
+            off2_flat = jnp.concatenate(
+                [off2_flat, jnp.zeros((pad,), off2_flat.dtype)])
+            w_flat = jnp.concatenate(
+                [w_flat, jnp.zeros((pad,), w_flat.dtype)])
     nb = xs.shape[0] // block
 
     def body(dacc, args):
-        xs_b, rays_b, g_b, off_b = args
+        xs_b, rays_b, g_b, off_b = args[:4]
         regs, lens, _ = trace_crossings(gs, xs_b, rays_b, itype=itype)
         lin = pack_linear(regs, gs, itype=itype) + off_b[:, None]
         w = g_b[:, None] * lens
+        if lerp:
+            off2_b, w_b = args[4:]
+            wcol = w_b[:, None].astype(w.dtype)
+            lin2 = (lin - off_b[:, None] + off2_b[:, None]).reshape(-1)
+            dacc = dacc.at[lin2].add((w * wcol).reshape(-1))
+            w = w * (1.0 - wcol)
         return dacc.at[lin.reshape(-1)].add(w.reshape(-1)), ()
 
+    args = [xs.reshape(nb, block, 3), rays.reshape(nb, block, 3),
+            g_flat.reshape(nb, block), off_flat.reshape(nb, block)]
+    if lerp:
+        args += [off2_flat.reshape(nb, block), w_flat.reshape(nb, block)]
     dacc, _ = jax.lax.scan(
-        body, jnp.zeros((n_flat,), g_flat.dtype),
-        (xs.reshape(nb, block, 3), rays.reshape(nb, block, 3),
-         g_flat.reshape(nb, block), off_flat.reshape(nb, block)))
+        body, jnp.zeros((n_flat,), g_flat.dtype), tuple(args))
     return dacc
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
 def fused_pallas_project(gs: GridSpec, density_flat, xs, rays,
                          itype=jnp.int32, interpret: bool = False,
-                         view_offsets=None):
+                         view_offsets=None, view_offsets2=None,
+                         view_w=None):
     """Fused forward projection with the trace inside the Pallas kernel.
 
     Args:
@@ -537,21 +586,28 @@ def fused_pallas_project(gs: GridSpec, density_flat, xs, rays,
         view_offsets: optional per-ray linear offsets (t_index·V),
             passed keyword-only (it rides the VJP as a zero-cotangent
             integer operand).
+        view_offsets2 / view_w: time-interpolated 4D (Operator
+            ``view_times``, reference raytracer.py:705-710 semantics):
+            per-ray ceil-bin offsets and lerp weights — each segment
+            contributes (1-w)·len at ``view_offsets`` and w·len at
+            ``view_offsets2``, inside the kernel (no doubled tables).
 
     Returns (*rshape,) line integrals.  Differentiable w.r.t.
     ``density_flat`` only (custom VJP re-traces blockwise and
     scatter-adds; geometry gradients are not implemented).
     """
     y, _ = _fused_fwd(gs, density_flat, xs, rays, itype, interpret,
-                      view_offsets)
+                      view_offsets, view_offsets2, view_w)
     return y
 
 
 def _fused_fwd(gs, density_flat, xs, rays, itype, interpret,
-               view_offsets):
+               view_offsets, view_offsets2=None, view_w=None):
     xs = jnp.asarray(xs, jnp.float32)
     rays = jnp.asarray(rays, jnp.float32)
-    geo, off, n, rshape = _prep_geo(xs, rays, view_offsets, itype)
+    lerp = view_w is not None
+    geo, off, n, rshape = _prep_geo(xs, rays, view_offsets, itype,
+                                    view_offsets2, view_w)
     V = density_flat.shape[-1]
     # the window sweep walks 8-row groups; the dynamic (streamed) sweep
     # walks PAIRS of windows, so H is padded to 16 rows
@@ -560,22 +616,28 @@ def _fused_fwd(gs, density_flat, xs, rays, itype, interpret,
     d2 = jnp.concatenate(
         [density_flat.astype(jnp.float32),
          jnp.zeros((pad,), jnp.float32)]).reshape(H, LANES)
-    y = _fused_pallas_call(gs, d2, geo, off, H, interpret)[:, 0, :]
+    y = _fused_pallas_call(gs, d2, geo, off, H, interpret,
+                           lerp=lerp)[:, 0, :]
     y = y.reshape(-1)[:n].reshape(rshape)
-    return y, (xs, rays, off, V)
+    return y, (xs, rays, off, geo, V, lerp)
 
 
 def _fused_bwd(gs, itype, interpret, res, g):
-    xs, rays, off, V = res
+    xs, rays, off, geo, V, lerp = res
     shape = jnp.broadcast_shapes(xs.shape, rays.shape)
     xs_f = jnp.broadcast_to(xs, shape).reshape(-1, 3)
     rays_f = jnp.broadcast_to(rays, shape).reshape(-1, 3)
     n = xs_f.shape[0]
     off_flat = off[:, 0].reshape(-1)[:n].astype(itype)
+    off2_flat = w_flat = None
+    if lerp:
+        off2_flat = off[:, 1].reshape(-1)[:n].astype(itype)
+        w_flat = geo[:, 6].reshape(-1)[:n]
     dD = _bwd_blockwise(gs, g.reshape(-1).astype(jnp.float32), xs_f,
-                        rays_f, off_flat, V, itype)
-    return dD.astype(g.dtype), jnp.zeros_like(xs), jnp.zeros_like(rays), \
-        None
+                        rays_f, off_flat, V, itype,
+                        off2_flat=off2_flat, w_flat=w_flat)
+    return (dD.astype(g.dtype), jnp.zeros_like(xs), jnp.zeros_like(rays),
+            None, None, None)
 
 
 fused_pallas_project.defvjp(_fused_fwd, _fused_bwd)

@@ -760,6 +760,9 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     # pointers coincide and the Pallas pipeline skips the repeated
     # window/dy DMA (the dominant per-band cost; rep fractions measured
     # 76% flagship / 53% config5 / 23% vol100, tools/densew_study.py).
+    import os
+
+    cmc = os.environ.get("SPH_CMC", "1") != "0"  # A/B escape hatch
     nslots = NCBp * B
     srcband = np.full(nslots, -1, np.int64)
     key_of_slot = np.zeros(nslots, np.int64)
@@ -769,7 +772,10 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
         c = int(counts[t])
         S = int(padded[t]) // B
         i = np.arange(c)
-        srcband[pos + (i % S) * B + i // S] = order[start: start + c]
+        if cmc:
+            srcband[pos + (i % S) * B + i // S] = order[start: start + c]
+        else:
+            srcband[pos: pos + c] = order[start: start + c]
         key_of_slot[pos: pos + padded[t]] = t
         pos += int(padded[t])
         start += c

@@ -344,6 +344,9 @@ def _band_layout(order, key_sorted, nkeys, B, chunk_multiple):
     COLUMN-major (band i → superchunk i % S, slot i // S) so same-slot
     pointers repeat across consecutive superchunks for rep bands —
     must stay bit-identical to route.band_pack's layout."""
+    import os
+
+    cmc = os.environ.get("SPH_CMC", "1") != "0"  # A/B escape hatch
     counts = np.bincount(key_sorted, minlength=nkeys)
     padded = -(-counts // B) * B
     NCB_real = int(padded.sum()) // B
@@ -358,7 +361,10 @@ def _band_layout(order, key_sorted, nkeys, B, chunk_multiple):
         c = int(counts[t])
         S = int(padded[t]) // B
         i = np.arange(c)
-        sb[pos + (i % S) * B + i // S] = order[start: start + c]
+        if cmc:
+            sb[pos + (i % S) * B + i // S] = order[start: start + c]
+        else:
+            sb[pos: pos + c] = order[start: start + c]
         key_of_slot[pos: pos + padded[t]] = t
         pos += int(padded[t])
         start += c

@@ -475,10 +475,36 @@ def build_banded_device_shards(lin, lens, volume_size: int,
             chunk_multiple=1, npad_multiple=npad_multiple, T=tiles_per,
             dense_fwd=dense_fwd, dense_bwd=dense_bwd))
 
-    NCf = _round_up_mult(max(c["NCBf"] for c in cores), chunk_multiple)
-    NCb = _round_up_mult(max(c["NCBb"] for c in cores), chunk_multiple)
-    sf = max(c["scan_fwd"] for c in cores)
-    sb = max(c["scan_bwd"] for c in cores)
+    return stack_device_cores(cores, chunk_multiple, SR, KD, G,
+                              tiles_per, R, volume_size)
+
+
+def stack_device_cores(cores, chunk_multiple, SR, KD, G, tiles_per, R,
+                       volume_size, ncf=None, ncb=None, scan_fwd=None,
+                       scan_bwd=None):
+    """Pad per-shard device-core outputs to common superchunk counts and
+    stack on a leading device axis (the tail of
+    :func:`build_banded_device_shards`, reusable by multi-host callers
+    that allgather the counts first).
+
+    Args:
+        ncf / ncb / scan_fwd / scan_bwd: externally-agreed maxima (raw,
+            un-rounded); default = the local maxima.  Multi-host callers
+            pass the process-allgathered values so every host pads its
+            shards to identical shapes.
+    """
+    from ..ops.route_device import DevicePadHelper
+
+    NCf = _round_up_mult(ncf if ncf is not None
+                         else max(c["NCBf"] for c in cores), chunk_multiple)
+    NCb = _round_up_mult(ncb if ncb is not None
+                         else max(c["NCBb"] for c in cores), chunk_multiple)
+    sf = (scan_fwd if scan_fwd is not None
+          else max(c["scan_fwd"] for c in cores))
+    sb = (scan_bwd if scan_bwd is not None
+          else max(c["scan_bwd"] for c in cores))
+    Bf = cores[0]["Bf"]
+    Bb = cores[0]["Bb"]
     H, HI = cores[0]["H"], cores[0]["HI"]
 
     def pad_rows(a, n_rows, fill=0):

@@ -453,7 +453,21 @@ class ShardedOperator(Operator):
         M = self.gs.num_crossings
         df, db = self._sharded_dense()
         self._sb_dense = (df, db)
+        # multi-host DEVICE build (VERDICT r3 #5): when the device router
+        # is enabled, each process routes its local shards on its own
+        # accelerator (ops/route_device.py core per tile range) instead
+        # of paying the host router per process; only the superchunk
+        # maxima are allgathered.  Tables are byte-identical to the
+        # single-process device build given the same trace (tested).
+        use_dev = self._use_device_router()
+        from ..ops.route import _round_up as _ru
+
+        SRb = cfg.routed_band_rows
+        H_rows = _ru(max(1, -(-self._flat_size // 128)), SRb)
+        Bf = H_rows // SRb if df else B
+        Bb = tiles_per if db else B
         fts, bts = [], []
+        cores = []
         for d in local_ids:
             lo, hi = d * rays_per, min((d + 1) * rays_per, n)
             if lo >= n:
@@ -487,6 +501,26 @@ class ShardedOperator(Operator):
 
                 lin_d = voxel_order_lin(lin_d, self.grid.vshape,
                                         self._vorder)
+            if use_dev:
+                import jax.numpy as jnp
+
+                from ..ops.route_device import (
+                    _banded_device_core,
+                    _empty_core,
+                )
+
+                if lin_d.shape[0] == 0:
+                    cores.append(_empty_core(
+                        SRb, cfg.routed_kd, G, G // 128, tiles_per,
+                        H_rows, 0, self._flat_size, Bf, Bb, 1,
+                        df is True, db is True))
+                else:
+                    cores.append(_banded_device_core(
+                        jnp.asarray(lin_d), jnp.asarray(lens_d),
+                        self._flat_size, G=G, SR=SRb, KD=cfg.routed_kd,
+                        B=B, chunk_multiple=1, T=tiles_per,
+                        dense_fwd=df, dense_bwd=db))
+                continue
             ft, bt = banded_shard_local(
                 lin_d, lens_d, self._flat_size, tiles_per,
                 G=G, SR=cfg.routed_band_rows, KD=cfg.routed_kd, B=B,
@@ -494,10 +528,16 @@ class ShardedOperator(Operator):
             fts.append(ft)
             bts.append(bt)
 
-        ncf = max(t.NCB for t in fts)
-        ncb = max(t.NCB for t in bts)
-        sf = max(t.scan_fwd for t in fts)
-        sb = max(t.scan_bwd for t in bts)
+        if use_dev:
+            ncf = max(c["NCBf"] for c in cores)
+            ncb = max(c["NCBb"] for c in cores)
+            sf = max(c["scan_fwd"] for c in cores)
+            sb = max(c["scan_bwd"] for c in cores)
+        else:
+            ncf = max(t.NCB for t in fts)
+            ncb = max(t.NCB for t in bts)
+            sf = max(t.scan_fwd for t in fts)
+            sb = max(t.scan_bwd for t in bts)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -505,6 +545,22 @@ class ShardedOperator(Operator):
                 np.asarray([ncf, ncb, sf, sb], np.int64))
             ncf, ncb, sf, sb = (
                 int(x) for x in np.asarray(g).reshape(-1, 4).max(axis=0))
+        if use_dev:
+            from .routed_sharded import stack_device_cores
+
+            fstk, bstk, mf, mb, helper = stack_device_cores(
+                cores, 256, SRb, cfg.routed_kd, G, tiles_per, n,
+                self._flat_size, ncf=ncf, ncb=ncb,
+                scan_fwd=sf, scan_bwd=sb)
+            self._cast_w_stacks(fstk, bstk, mf, mb)
+            self._sb_ft = put_sharded_tables_multihost(fstk, self.mesh)
+            self._sb_bt = put_sharded_tables_multihost(bstk, self.mesh)
+            self._sb_meta, self._sb_metab = mf, mb
+            self._sb_B = B
+            self._sb_rt8 = helper
+            self._sharded_routed = "banded"
+            self.lin = self.lens = None
+            return
         fstk, bstk, mf, mb = stack_banded_shards(
             fts, bts, tiles_per, n, ncf=ncf, ncb=ncb,
             scan_fwd=sf, scan_bwd=sb)

@@ -362,3 +362,34 @@ def test_sharded_device_build_matches_host_build(setup):
     assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-4)
     assert np.allclose(np.asarray(sop.T(y)), np.asarray(op32.T(y)),
                        atol=1e-4)
+
+
+def test_process_local_device_build_bit_identical(setup):
+    """Multi-host DEVICE table build (VERDICT r3 #5): the process-local
+    path with the device router enabled routes each local shard with the
+    device-routing core — tables, metas, and results must be
+    byte-identical to the single-process device build."""
+    grid, geom, op, x = setup
+    from sph_raytracer_tpu.config import TraceConfig
+
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_build="device")
+    sop_g = ShardedOperator(grid, geom, mesh=make_mesh(),
+                            config=cfg.replace(sharded_local_build=False))
+    sop_l = ShardedOperator(grid, geom, mesh=make_mesh(),
+                            config=cfg.replace(sharded_local_build=True))
+    assert sop_l._sharded_routed == "banded" and sop_l.lin is None
+    assert sop_g._sb_meta == sop_l._sb_meta
+    assert sop_g._sb_metab == sop_l._sb_metab
+    for k in sop_g._sb_ft:
+        a, b = np.asarray(sop_g._sb_ft[k]), np.asarray(sop_l._sb_ft[k])
+        assert a.shape == b.shape and np.array_equal(a, b), k
+    for k in sop_g._sb_bt:
+        a, b = np.asarray(sop_g._sb_bt[k]), np.asarray(sop_l._sb_bt[k])
+        assert a.shape == b.shape and np.array_equal(a, b), k
+    x32 = x.astype(jnp.float32)
+    assert np.array_equal(np.asarray(sop_l(x32)), np.asarray(sop_g(x32)))
+    y = sop_g(x32)
+    g_g = jax.grad(lambda d: jnp.mean((sop_g(d) - y) ** 2))(x32)
+    g_l = jax.grad(lambda d: jnp.mean((sop_l(d) - y) ** 2))(x32)
+    assert np.array_equal(np.asarray(g_g), np.asarray(g_l))
