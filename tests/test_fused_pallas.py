@@ -184,3 +184,45 @@ def test_fused_pallas_dynamic_sweep(monkeypatch):
             np.abs(np.asarray(y) - ref).max()
     finally:
         fp._fused_pallas_call.clear_cache()
+
+
+def test_fused_routed_bwd_hybrid():
+    """fused_bwd='routed' (round 4): zero-table fused forward + banded
+    routed backward.  Forward equals plain fused; gradient and adjoint
+    equal the precomputed oracle."""
+    grid = SphericalGrid(shape=(12, 8, 8))
+    geom = sum(
+        ConeRectGeom((6, 8), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(tuple(grid.shape)), jnp.float32)
+    cfg = TraceConfig(mode="fused", interpret=True,
+                      fused_backend="pallas", routed_g=128,
+                      routed_chunk_multiple=2)
+    op_h = Operator(grid, geom, config=cfg.replace(fused_bwd="routed"))
+    assert op_h._fused_btd is not None
+    op_f = Operator(grid, geom, config=cfg)
+    op_p = Operator(grid, geom, ftype=jnp.float32)
+    yh = np.asarray(op_h(x))
+    assert np.array_equal(yh, np.asarray(op_f(x)))  # same fwd kernel
+    y0 = jnp.asarray(np.asarray(op_p(x)))
+    gh = np.asarray(jax.grad(
+        lambda d: jnp.mean((op_h(d) - y0) ** 2))(x))
+    gp = np.asarray(jax.grad(
+        lambda d: jnp.mean((op_p(d) - y0) ** 2))(x))
+    assert np.allclose(gh, gp, atol=1e-5), np.abs(gh - gp).max()
+    # adjoint now rides the banded kernel too (no lin/lens build)
+    bt = np.asarray(op_h.T(y0))
+    bp = np.asarray(op_p.T(y0))
+    assert np.allclose(bt, bp, atol=1e-4), np.abs(bt - bp).max()
+    # payload threading (what gd does)
+    pl = op_h.payload
+    assert "fbtd" in pl
+
+    @jax.jit
+    def step(d, pl):
+        fx = op_h.with_payload(pl)
+        return jax.grad(lambda v: jnp.mean((fx(v) - y0) ** 2))(d)
+
+    assert np.allclose(np.asarray(step(x, pl)), gp, atol=1e-5)
