@@ -51,8 +51,13 @@ def _fixture():
     return grid, geom, x
 
 
-def _run_case(local_build):
-    """Build the sharded banded operator and compute all check outputs."""
+def _run_case(local_build, routed_build="auto"):
+    """Build the sharded banded operator and compute all check outputs.
+
+    ``routed_build='device'`` exercises the multi-host DEVICE table
+    build (each process routes its local shards with the device-routing
+    core; VERDICT r3 #5) — on this CPU harness the core runs as XLA
+    ops, same code path a pod would take."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -68,7 +73,8 @@ def _run_case(local_build):
     mesh = make_mesh()
     cfg = TraceConfig(mode="routed", interpret=True, routed_g=G,
                       routed_bands=4, routed_chunk_multiple=2,
-                      sharded_local_build=local_build)
+                      sharded_local_build=local_build,
+                      routed_build=routed_build)
     sop = ShardedOperator(grid, geom, mesh=mesh, config=cfg)
     assert sop._sharded_routed == "banded", sop._sharded_routed
 
@@ -108,8 +114,13 @@ def main_child():
         assert jax.process_count() == 2
         assert jax.device_count() == 8
         # sharded_local_build=None auto-selects the process-local build
-        # at process_count()>1 — the code path under test
-        out = _run_case(local_build=None)
+        # at process_count()>1 — the code path under test; the 'device'
+        # variant routes each process's shards with the device core
+        out = {f"h_{k}": v
+               for k, v in _run_case(local_build=None).items()}
+        out.update({f"d_{k}": v
+                    for k, v in _run_case(
+                        local_build=None, routed_build="device").items()})
         if rank == 0:
             import numpy as np
 
@@ -118,7 +129,13 @@ def main_child():
         assert jax.device_count() == 8
         import numpy as np
 
-        np.savez(os.environ["MH_OUT"], **_run_case(local_build=False))
+        out = {f"h_{k}": v
+               for k, v in _run_case(local_build=False).items()}
+        out.update({f"d_{k}": v
+                    for k, v in _run_case(
+                        local_build=False,
+                        routed_build="device").items()})
+        np.savez(os.environ["MH_OUT"], **out)
     print(f"[multihost_check] {mode}{os.environ.get('MH_RANK', '')} done",
           flush=True)
 
@@ -164,7 +181,7 @@ def main_runner():
         for k in a.files:
             ak, bk = a[k], b[k]
             assert ak.shape == bk.shape, (k, ak.shape, bk.shape)
-            if k.startswith(("ft_", "bt_")):
+            if k.startswith(("h_ft_", "h_bt_", "d_ft_", "d_bt_")):
                 # table bytes must be identical regardless of which host
                 # built them
                 assert np.array_equal(ak, bk), f"table {k} differs"
