@@ -15,5 +15,7 @@ distribution layer (SURVEY N1-N3, §5.7/§5.8):
 """
 from .mesh import distributed_init, make_mesh
 from .sharded import ShardedOperator, shard_rays
+from .vol_sharded import VolShardedOperator
 
-__all__ = ["make_mesh", "distributed_init", "ShardedOperator", "shard_rays"]
+__all__ = ["make_mesh", "distributed_init", "ShardedOperator",
+           "shard_rays", "VolShardedOperator"]
