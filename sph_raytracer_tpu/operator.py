@@ -827,8 +827,12 @@ class Operator:
                 th.update(np.ascontiguousarray(self._time_off2).tobytes())
                 th.update(np.ascontiguousarray(self._time_w).tobytes())
             tkey = f"{self._flat_size}-{th.hexdigest()[:16]}"
+        import os
+
         df, db = self._dense_flags()
         vtag = "" if self._vorder == "a" else f"/vo-{self._vorder}"
+        if os.environ.get("SPH_CMC", "1") == "0":  # A/B escape hatch
+            vtag += "/rowmajor"
         if cfg.routed_dense != "off":
             # tag by MODE, not decision: under 'auto' the final call is
             # data-aware (rep-skew gate after routing) and the cached
