@@ -831,8 +831,8 @@ class Operator:
 
         df, db = self._dense_flags()
         vtag = "" if self._vorder == "a" else f"/vo-{self._vorder}"
-        if os.environ.get("SPH_CMC", "1") == "0":  # A/B escape hatch
-            vtag += "/rowmajor"
+        if os.environ.get("SPH_CMC", "0") == "1":  # opt-in (measured regression)
+            vtag += "/cmc"
         if cfg.routed_dense != "off":
             # tag by MODE, not decision: under 'auto' the final call is
             # data-aware (rep-skew gate after routing) and the cached

@@ -762,7 +762,7 @@ def band_pack(rt: RoutedTables, B: int = 8, by: str = "tile",
     # 76% flagship / 53% config5 / 23% vol100, tools/densew_study.py).
     import os
 
-    cmc = os.environ.get("SPH_CMC", "1") != "0"  # A/B escape hatch
+    cmc = os.environ.get("SPH_CMC", "0") == "1"  # measured regression; see PERFORMANCE.md
     nslots = NCBp * B
     srcband = np.full(nslots, -1, np.int64)
     key_of_slot = np.zeros(nslots, np.int64)

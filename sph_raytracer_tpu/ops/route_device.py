@@ -346,7 +346,7 @@ def _band_layout(order, key_sorted, nkeys, B, chunk_multiple):
     must stay bit-identical to route.band_pack's layout."""
     import os
 
-    cmc = os.environ.get("SPH_CMC", "1") != "0"  # A/B escape hatch
+    cmc = os.environ.get("SPH_CMC", "0") == "1"  # measured regression; see PERFORMANCE.md
     counts = np.bincount(key_sorted, minlength=nkeys)
     padded = -(-counts // B) * B
     NCB_real = int(padded.sum()) // B
