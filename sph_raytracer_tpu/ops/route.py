@@ -850,8 +850,51 @@ def _fill_dummy_ptrs(bp, dummy):
     return out.astype(np.int32)
 
 
+def select_chunks(rt: RoutedTables, mask) -> RoutedTables:
+    """Subset of the SR-chunk tables by chunk mask (T/H/G unchanged;
+    per-chunk orderings recomputed).  Routing is per-chunk, so a subset
+    of the global routing is the routing of the subset."""
+    idx = np.flatnonzero(np.asarray(mask))
+    rows = (idx[:, None] * rt.SR + np.arange(rt.SR)[None, :]).reshape(-1)
+    sg_l = rt.sg[idx]
+    tile_l = rt.tile[idx]
+    bwd_order = np.lexsort((tile_l, sg_l)).astype(np.int32)
+    sgs = sg_l[bwd_order] if len(bwd_order) else sg_l
+    return dataclasses.replace(
+        rt,
+        lvw=rt.lvw[rows], w=rt.w[rows], hi8=rt.hi8[rows],
+        lp8=rt.lp8[rows], perm=rt.perm[rows], put=rt.put[rows],
+        putv=rt.putv[rows], kcol=rt.kcol[rows], rposf=rt.rposf[rows],
+        rposb=rt.rposb[rows], wp=rt.wp[rows], lp8p=rt.lp8p[rows],
+        kcolp=rt.kcolp[rows],
+        src=rt.src[:, rows], hik=rt.hik[:, rows],
+        sg=sg_l, tile=tile_l,
+        kmax=rt.kmax[idx], sdf=rt.sdf[idx], sdb=rt.sdb[idx],
+        fwd_first=np.r_[1, (tile_l[1:] != tile_l[:-1]).astype(np.int32)]
+        if len(tile_l) else np.ones(1, np.int32),
+        bwd_order=bwd_order,
+        bwd_first=(np.r_[1, (sgs[1:] != sgs[:-1]).astype(np.int32)]
+                   if len(sgs) else np.ones(1, np.int32)),
+        tiles_covered=_covered(tile_l, rt.T),
+        wins_covered=_covered(sg_l, rt.H // rt.SR),
+        NC=len(idx), n_live=int((rt.w[rows] > 0).sum()),
+    )
+
+
+def split_reps(rt: RoutedTables, RP: int):
+    """(dense_mask, overflow_mask): per (tile, window) pair, the first
+    ``RP`` rep chunks go dense, the rest overflow.  Chunks arrive in
+    (tile, sg, rep) order, so pairs are contiguous."""
+    NSG = max(rt.H // rt.SR, 1)
+    pairkey = rt.tile.astype(np.int64) * NSG + rt.sg
+    rank = _cumcount(pairkey)
+    dense = rank < RP
+    return dense, ~dense
+
+
 def band_pack_dense(rt: RoutedTables, by: str = "tile",
-                    chunk_multiple="auto") -> BandedTables:
+                    chunk_multiple="auto", slot_pad: int = 1
+                    ) -> BandedTables:
     """Dense-slot band packing: slot position encodes the band's OTHER
     coordinate, so the kernels can index it statically.
 
@@ -888,6 +931,9 @@ def band_pack_dense(rt: RoutedTables, by: str = "tile",
         nkeys, nslots = rt.H // SRb, rt.T
         key_c, slot_c = rt.sg, rt.tile
         order = rt.bwd_order.astype(np.int64)
+    # slot_pad: pad the slot count (the window-major forward wants
+    # 8-multiple slots so its resident-y h-slices stay sublane-aligned)
+    nslots = _round_up(nslots, slot_pad)
     if NC == 0 or rt.n_live == 0:
         return dataclasses.replace(
             _empty_banded(rt, nslots, by, chunk_multiple), slots="dense")

@@ -850,6 +850,124 @@ def _bwd_banded_dense_pallas(dy, btd: BandedDeviceBwd, meta: RoutedMeta,
     return jnp.where(jnp.repeat(btd.covered, SRb)[:, None] > 0, dD2, 0.0)
 
 
+def banded_device_wfwd(bt, w_dtype=None):
+    """Upload FORWARD tables from a by-'window' dense band packing —
+    the window-major forward (see :func:`_fwd_banded_densew_pallas`)
+    shares the dense backward's slot grid (superchunk = (window, rep),
+    slot t = ray tile t), so the same band_pack_dense(by='window')
+    tables carry both directions' per-column fields."""
+    assert bt.by == "window" and bt.slots == "dense"
+    p2 = (bt.first.astype(np.int32)
+          | (bt.kmax.astype(np.int32) << 4)
+          | (bt.sdf.astype(np.int32) << 8)
+          | (bt.keyp.astype(np.int32) << 16))
+    w = (jnp.asarray(bt.w) if w_dtype is None
+         else jnp.asarray(np.asarray(bt.w, dtype=jnp.dtype(w_dtype))))
+    ft = BandedDeviceFwd(
+        lvw=jnp.asarray(bt.lvw), w=w,
+        rposf=jnp.asarray(bt.rposf), src=jnp.asarray(bt.src),
+        hik=jnp.asarray(bt.hik), bp=jnp.asarray(bt.bp),
+        p2=jnp.asarray(p2), covered=jnp.asarray(bt.covered))
+    meta = RoutedMeta(bt.NCB, bt.SRb * bt.B, bt.KD, bt.G, bt.HI, bt.T,
+                      bt.H, bt.n_rays, bt.volume_size, bt.scan_fwd,
+                      bt.scan_bwd)
+    return ft, meta
+
+
+def _fwd_banded_densew_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta,
+                              SRb: int, interpret=False, stage="full"):
+    """Window-major dense-slot FORWARD: superchunk = (density window,
+    rep), slot t = the band of ray tile t — the dense BACKWARD's slot
+    grid, mirrored.  Structural DMA-count fix for the fetch stage: each
+    superchunk fetches ONE (SRb, 128) density window through its p2
+    pointer (vs B per-band window DMAs in the by-tile classic layout),
+    and the whole y rides a single RESIDENT VMEM output block laid out
+    ``(HI·Tp, 128)`` h-major (so every h-slice is a static Tp-row
+    aligned write; Tp = slot count, 8-padded via band_pack_dense
+    slot_pad).  Returns y as (Tp, HI, 128)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NCB, SRB, KD, HI = meta.NC, meta.SR, meta.KD, meta.HI
+    Tp = SRB // SRb
+    assert Tp * SRb == SRB
+
+    def kernel(p2_ref, lvw_ref, w_ref, rposf_ref, src_ref, hik_ref,
+               d2_ref, y_ref, acc_scr):
+        b = pl.program_id(0)
+        p2 = p2_ref[b]
+
+        @pl.when(b == 0)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        W8 = d2_ref[:]                       # (SRb, L) shared window
+        W = jnp.concatenate([W8] * Tp, axis=0)
+        wv = w_ref[:]
+        F = jnp.take_along_axis(W, lvw_ref[:].astype(jnp.int32), axis=1) * wv
+        if stage == "fetch":
+            y_ref[0:1, :] += jnp.sum(F, axis=0, keepdims=True)
+            return
+        rp = rposf_ref[:].astype(jnp.int32)
+        acc_scr[:] = F
+        sd = (p2 >> 8) & 0xF
+        for t in range(meta.scan_fwd):
+
+            @pl.when(sd > t)
+            def _step(s=1 << t):
+                acc_scr[:] += jnp.where(
+                    rp >= s, pltpu.roll(acc_scr[:], s, 1), 0.0)
+
+        acc = acc_scr[:]
+        if stage == "scan":
+            y_ref[0:1, :] += jnp.sum(acc, axis=0, keepdims=True)
+            return
+
+        def reduce_body(kd_eff):
+            Rks = [jnp.take_along_axis(acc, src_ref[k].astype(jnp.int32),
+                                       axis=1)
+                   for k in range(kd_eff)]
+            hiks = [hik_ref[k].astype(jnp.int32) for k in range(kd_eff)]
+            for h in range(HI):
+                z = jnp.where(hiks[0] == h, Rks[0], 0.0)
+                for k in range(1, kd_eff):
+                    z = z + jnp.where(hiks[k] == h, Rks[k], 0.0)
+                y_ref[h * Tp:(h + 1) * Tp, :] += z.reshape(
+                    Tp, SRb, LANES).sum(axis=1)
+
+        if KD == 1:
+            reduce_body(1)
+        else:
+            km = (p2 >> 4) & 0xF
+            for kd in range(KD):
+                cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
+
+                @pl.when(cond)
+                def _red(kd_eff=kd + 1):
+                    reduce_body(kd_eff)
+
+    col = pl.BlockSpec((SRB, LANES), lambda b, p2: (b, 0))
+    colk = pl.BlockSpec((KD, SRB, LANES), lambda b, p2: (0, b, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NCB,),
+        in_specs=[col, col, col, colk, colk,
+                  pl.BlockSpec((SRb, LANES),
+                               lambda b, p2: (p2[b] >> 16, 0))],
+        out_specs=pl.BlockSpec((HI * Tp, LANES), lambda b, p2: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((SRB, LANES), d2.dtype)],
+    )
+    y2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((HI * Tp, LANES), d2.dtype),
+        interpret=interpret,
+    )(ft.p2, ft.lvw, ft.w, ft.rposf, ft.src, ft.hik, d2)
+    # (HI·Tp, 128) h-major -> (Tp, HI, 128); resident y is zero-inited,
+    # so no covered mask is needed
+    return y2.reshape(HI, Tp, LANES).transpose(1, 0, 2)
+
+
 # banded backward dy row-select: "grouped8" = sublane gathers within
 # 8-row groups + group select tree (4 gathers + 3 selects at HI=32;
 # measured 1.35x on the whole bwd kernel vs "tree" on v5e, bit-identical);
