@@ -70,8 +70,10 @@ class Operator:
             the bin count.  Implemented by doubling the crossing table
             with lerp-weighted segment lengths, so it is transparent to
             every execution engine (including the routed TPU kernels) and
-            exactly linear/differentiable.  ``mode='fused'`` falls back to
-            ``precomputed``.
+            exactly linear/differentiable.  The in-kernel fused engine
+            instead walks a second density stream with the lerp weight —
+            no doubled tables; ``mode='fused'`` only falls back to
+            ``precomputed`` outside the Pallas envelope.
         debug: print a per-crossing table for one line of sight at
             construction (reference raytracer.py:656-665).  Only the
             selected LOS is traced — O(M) cost at any detector size.
@@ -233,8 +235,10 @@ class Operator:
         if config.routed_w_dtype not in ("f32", "bf16"):
             raise ValueError(f"routed_w_dtype={config.routed_w_dtype!r} "
                              "(want 'f32' or 'bf16')")
-        if (config.routed_w_dtype == "bf16"
-                and (mode != "routed" or not config.routed_banded)):
+        uses_banded = config.routed_banded and (
+            mode == "routed"
+            or (mode == "fused" and config.fused_bwd == "routed"))
+        if config.routed_w_dtype == "bf16" and not uses_banded:
             import warnings
 
             warnings.warn(

@@ -39,17 +39,19 @@ DEFAULT_CANDIDATES: Tuple[Tuple[int, int], ...] = (
     (16, 8), (32, 8), (64, 8), (16, 16), (32, 16), (16, 32),
 )
 
-# wider (G, KD, B) sweep for crossing-dense problems (vol100 /
+# wider (KD, B) sweep for crossing-dense problems (vol100 /
 # config5_shard): per-ray crossing counts double at 100^3, shifting the
-# collision/occupancy balance that G and KD control.  voxel_order='r'
-# rides along for the dense points (measured ~12% at 100^3, free
-# in-graph transpose; a no-op at 50^3).
+# collision/occupancy balance KD controls.  voxel_order='r' rides along
+# (measured ~12% at 100^3, free in-graph transpose; a no-op at 50^3).
+# G stays 4096: G=2048 loses occupancy and G≥8192 was measured on-chip
+# (round 4) to REGRESS at 100^3 — the fill gain (rows -14..-24%) is
+# outvoted by the HI-proportional reduce cost (fwd 6.17 -> 8.34 ms at
+# G=8192 KD=2).
 GRID_CANDIDATES: Tuple[dict, ...] = tuple(
-    {"routed_g": g, "routed_kd": kd, "routed_bands": b,
+    {"routed_g": 4096, "routed_kd": kd, "routed_bands": b,
      "routed_band_rows": 8, "routed_voxel_order": vo}
-    for g in (2048, 4096)
-    for kd in (2, 3, 4)
-    for b in (16, 32, 64)
+    for kd in (2, 3)
+    for b in (32, 64)
     for vo in ("a", "r")
 )
 
