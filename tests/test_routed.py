@@ -294,3 +294,50 @@ def test_sharded_tables_per_shard_window_coverage():
             any_partial = True
     # the test problem must actually exercise partial coverage
     assert any_partial
+
+
+def test_select_chunks_and_split_reps_partition():
+    """route.select_chunks/split_reps (round 4): the rep-capped split
+    partitions the chunks, and the two parts' projections sum to the
+    full projection (used by the window-major-forward study and any
+    future hybrid layout)."""
+    import numpy as np
+
+    from sph_raytracer_tpu import ConeRectGeom, Operator, SphericalGrid
+    from sph_raytracer_tpu.ops.route import (
+        band_pack,
+        build_routed_tables,
+        select_chunks,
+        split_reps,
+    )
+    from sph_raytracer_tpu.ops.routed_project import (
+        _fwd_banded_pallas,
+        banded_device_fwd,
+    )
+    import jax.numpy as jnp
+
+    grid = SphericalGrid(shape=(12, 8, 8))
+    geom = sum(
+        ConeRectGeom((6, 8), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))
+    op = Operator(grid, geom, _compute=False)
+    lin, lens, n, _ = op._traced_tables(device=False)
+    V = int(np.prod(grid.vshape))
+    rt = build_routed_tables(np.asarray(lin[:n]), np.asarray(lens[:n]),
+                             V, G=128, SR=8, KD=3)
+    dm, om = split_reps(rt, 1)
+    assert (dm | om).all() and not (dm & om).any()
+    d2 = jnp.asarray(np.random.default_rng(0).random((rt.H, 128)),
+                     jnp.float32)
+
+    def fwd(sub):
+        ft, meta = banded_device_fwd(
+            band_pack(sub, B=4, by="tile", chunk_multiple=2))
+        return np.asarray(_fwd_banded_pallas(d2, ft, meta, 4,
+                                             interpret=True))
+
+    y_full = fwd(rt)
+    y_sum = fwd(select_chunks(rt, dm)) + fwd(select_chunks(rt, om))
+    assert np.allclose(y_sum, y_full, atol=1e-5), \
+        np.abs(y_sum - y_full).max()

@@ -95,3 +95,21 @@ def test_vol_sharded_4d_lerp(setup):
                              view_times=times)
     op = Operator(grid, geom, ftype=jnp.float32, view_times=times)
     assert np.allclose(np.asarray(sop(x)), np.asarray(op(x)), atol=1e-4)
+
+
+def test_vol_sharded_gd_convergence(setup):
+    """The retrieval driver duck-types VolShardedOperator (payload /
+    with_payload / grid) — a few gd steps must reduce the loss."""
+    from sph_raytracer_tpu.loss import SquareLoss
+    from sph_raytracer_tpu.models import FullyDenseModel
+    from sph_raytracer_tpu.retrieval import gd
+
+    grid, geom, op, x = setup
+    sop = VolShardedOperator(grid, geom, mesh=make_mesh(), config=_cfg())
+    y = sop(x)
+    coeffs, reproj, losses = gd(sop, y, FullyDenseModel(grid),
+                                num_iterations=4, chunk=2,
+                                progress_bar=False,
+                                loss_fns=[SquareLoss()], learning_rate=0.1)
+    hist = losses[next(iter(losses))]
+    assert len(hist) == 4 and hist[-1] < hist[0]
