@@ -84,7 +84,7 @@ def _sig(grid, geom, backend: str, config: TraceConfig) -> str:
 def autotune(grid, geom, candidates: Optional[Sequence] = None,
              config: Optional[TraceConfig] = None, ftype=None,
              iters: int = 6, cache: bool = True, cached_only: bool = False,
-             verbose: bool = False) -> TraceConfig:
+             verbose: bool = False, force: bool = False) -> TraceConfig:
     """Measure candidate routed layouts and return the fastest config.
 
     Args:
@@ -102,6 +102,9 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
             callers (benchmarks, serving startup) opportunistically use a
             previously measured layout.
         verbose: print per-candidate times to stderr.
+        force: ignore an existing sidecar entry and re-measure (the
+            result still overwrites the cache) — for re-sweeps after
+            metric or engine changes.
 
     Returns:
         The base config with ``mode='routed'`` and the fastest
@@ -126,13 +129,15 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
     fname = f"tune_{_sig(grid, geom, backend, base)}.json"
     cpath = os.path.join(cdir, fname)
     read_path = cpath
-    if cache and not os.path.exists(read_path):
+    if force:
+        cached_only = False
+    if cache and not force and not os.path.exists(read_path):
         # accept sidecars written by older versions into the trace-cache
         # dir (often RAM-backed — wiped on reboot — hence the move)
         legacy_dir = os.environ.get("SPH_TPU_TRACE_CACHE")
         if legacy_dir and os.path.exists(os.path.join(legacy_dir, fname)):
             read_path = os.path.join(legacy_dir, fname)
-    if cache and os.path.exists(read_path):
+    if cache and not force and os.path.exists(read_path):
         with open(read_path) as fh:
             saved = json.load(fh)
         fields = saved.get("fields") or {
