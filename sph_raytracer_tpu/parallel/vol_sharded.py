@@ -233,8 +233,9 @@ class VolShardedOperator:
             kwargs["view_times"] = view_times
         if dynamic is not None:
             kwargs["dynamic"] = dynamic
-        base = Operator(grid, geom, config=cfg.replace(mode="precomputed"),
-                        _compute=False, **kwargs)
+        # mode='routed' (not built: _compute=False) so dtype/knob
+        # validation matches the banded engine this operator drives
+        base = Operator(grid, geom, config=cfg, _compute=False, **kwargs)
         self._base = base
         self.grid, self.geom = grid, geom
         self.gs = base.gs
