@@ -36,7 +36,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..ops.route import LANES, band_pack
 from ..ops.routed_project import RoutedMeta
