@@ -672,7 +672,6 @@ class Operator:
         self._fused_helper = helper
         interp = bool(cfg.interpret) or jax.default_backend() != "tpu"
         B, SRb = cfg.routed_bands, cfg.routed_band_rows
-        vshape = tuple(self.grid.vshape)
 
         def adj(yf, btd):
             pad = metab.T * metab.G - yf.shape[0]
@@ -711,8 +710,16 @@ class Operator:
                 self._view_offsets, dtype=self.config.itype)
         off2 = vw = None
         if self._time_w is not None:
-            off2 = jnp.asarray(self._time_off2, dtype=self.config.itype)
-            vw = jnp.asarray(self._time_w, dtype=jnp.float32)
+            # device copies built once (same relay-cost rationale as
+            # _off_dev above)
+            off2 = getattr(self, "_off2_dev", None)
+            if off2 is None:
+                off2 = self._off2_dev = jnp.asarray(
+                    self._time_off2, dtype=self.config.itype)
+            vw = getattr(self, "_vw_dev", None)
+            if vw is None:
+                vw = self._vw_dev = jnp.asarray(
+                    self._time_w, dtype=jnp.float32)
         return fused_pallas_project(
             self.gs, flat, self._xs, self._rays, self.config.itype,
             bool(self.config.interpret), view_offsets=off,

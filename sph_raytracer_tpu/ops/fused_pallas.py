@@ -79,11 +79,12 @@ def supported(gs: GridSpec, n_flat: int) -> bool:
     return True
 
 
-def _needs_dynamic(H: int, Mp: int) -> bool:
-    """Unrolled sweep = (H/8)·(Mp/8) static bodies; past this budget the
-    kernel streams 8-row density windows from HBM through a
-    double-buffered DMA fori_loop instead (instruction count O(Mp/8))."""
-    return ((H // 8) * (Mp // 8) > 4096
+def _needs_dynamic(H: int, Mp: int, nstreams: int = 1) -> bool:
+    """Unrolled sweep = nstreams·(H/8)·(Mp/8) static bodies (lerp walks
+    two (row, lane, weight) streams); past this budget the kernel
+    streams 8-row density windows from HBM through a double-buffered DMA
+    fori_loop instead (instruction count O(nstreams·Mp/8))."""
+    return (nstreams * (H // 8) * (Mp // 8) > 4096
             or H * LANES * 4 + 10 * Mp * LANES * 4 > 12 * 2 ** 20)
 
 
@@ -333,7 +334,6 @@ def _make_kernel(gs: GridSpec, H: int, Mp: int, stage: str = 'full',
                        (code1 // LANES, code1 % LANES, wl * wrow)]
         else:
             streams = [(code // LANES, code % LANES, wl)]
-        drow, dlane = streams[0][0], streams[0][1]
 
         # density fetch: val[i,l] = D2[row[i,l], lane[i,l]] — a general
         # 2D gather the hardware lacks, decomposed per 8-row window into
@@ -449,7 +449,7 @@ def _fused_pallas_call(gs: GridSpec, d2, geo, off, H: int,
     from jax.experimental.pallas import tpu as pltpu
 
     Mp = _pow2(gs.num_crossings)
-    dyn = _needs_dynamic(H, Mp)
+    dyn = _needs_dynamic(H, Mp, nstreams=2 if lerp else 1)
     kernel = _make_kernel(gs, H, Mp, stage, dynamic_sweep=dyn, lerp=lerp)
     bc = jnp.asarray(_boundary_const(gs))
     BR = bc.shape[0]
@@ -619,11 +619,14 @@ def _fused_fwd(gs, density_flat, xs, rays, itype, interpret,
     y = _fused_pallas_call(gs, d2, geo, off, H, interpret,
                            lerp=lerp)[:, 0, :]
     y = y.reshape(-1)[:n].reshape(rshape)
-    return y, (xs, rays, off, geo, V, lerp)
+    # residuals: only lerp needs the weight row of geo (keeping the
+    # whole (T, 8, 128) geo alive fwd->bwd would cost ~8x the weights)
+    w_rows = geo[:, 6] if lerp else None
+    return y, (xs, rays, off, w_rows, V, lerp)
 
 
 def _fused_bwd(gs, itype, interpret, res, g):
-    xs, rays, off, geo, V, lerp = res
+    xs, rays, off, w_rows, V, lerp = res
     shape = jnp.broadcast_shapes(xs.shape, rays.shape)
     xs_f = jnp.broadcast_to(xs, shape).reshape(-1, 3)
     rays_f = jnp.broadcast_to(rays, shape).reshape(-1, 3)
@@ -632,7 +635,7 @@ def _fused_bwd(gs, itype, interpret, res, g):
     off2_flat = w_flat = None
     if lerp:
         off2_flat = off[:, 1].reshape(-1)[:n].astype(itype)
-        w_flat = geo[:, 6].reshape(-1)[:n]
+        w_flat = w_rows.reshape(-1)[:n]
     dD = _bwd_blockwise(gs, g.reshape(-1).astype(jnp.float32), xs_f,
                         rays_f, off_flat, V, itype,
                         off2_flat=off2_flat, w_flat=w_flat)

@@ -66,7 +66,7 @@ def shard_rays(mesh: Mesh, xs, rays, axis: str = RAY_AXIS, block: int = 1):
 )
 def sharded_project(mesh, gs: GridSpec, flat2, xs, rays, off, block,
                     itype_name, axis=RAY_AXIS, pallas=False,
-                    interpret=False):
+                    interpret=False, off2=None, w=None):
     """Fused projection under shard_map: rays sharded, volume replicated.
 
     Args:
@@ -75,17 +75,25 @@ def sharded_project(mesh, gs: GridSpec, flat2, xs, rays, off, block,
         off: (Rp,) per-ray time offsets (dynamic grids) or zeros.
         pallas: run the in-kernel fused engine (ops/fused_pallas.py) per
             shard instead of the XLA blockwise re-trace.
+        off2 / w: time-interpolated 4D second-bin offsets and lerp
+            weights (Pallas path only — callers demote to precomputed
+            when lerp is needed without the Pallas engine).
 
     Returns (C, Rp) line integrals, sharded over rays.
     """
-    def local(flat2, xs_s, rays_s, off_s):
+    lerp = w is not None
+    assert not lerp or pallas, "lerp needs the in-kernel Pallas engine"
+
+    def local(flat2, xs_s, rays_s, off_s, off2_s, w_s):
         if pallas:
             from ..ops.fused_pallas import fused_pallas_project
 
             return jnp.stack([
                 fused_pallas_project(
                     gs, flat2[i], xs_s, rays_s, jnp.dtype(itype_name),
-                    interpret, view_offsets=off_s)
+                    interpret, view_offsets=off_s,
+                    view_offsets2=off2_s if lerp else None,
+                    view_w=w_s if lerp else None)
                 for i in range(flat2.shape[0])
             ])
         return project_fused(
@@ -93,14 +101,18 @@ def sharded_project(mesh, gs: GridSpec, flat2, xs, rays, off, block,
             block=block, itype=jnp.dtype(itype_name),
         )
 
+    # without lerp the extra operands are traced but unused — feed the
+    # (already ray-sharded) offset array as a placeholder
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis, None), P(axis)),
+        in_specs=(P(), P(axis, None), P(axis, None), P(axis), P(axis),
+                  P(axis)),
         out_specs=P(None, axis),
         # pallas_call has no vma annotations (same as routed_sharded)
         check_vma=not pallas,
-    )(flat2, xs, rays, off)
+    )(flat2, xs, rays, off, off2 if lerp else off,
+      w if lerp else off)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis"))
@@ -162,8 +174,9 @@ class ShardedOperator(Operator):
         self.mesh = mesh if mesh is not None else make_mesh()
         super().__init__(grid, geom, dynamic=dynamic, config=config,
                          _compute=False, **kw)
-        # mode (incl. the routed-f32 and fused/view_times fallbacks,
-        # with their warnings) was already resolved by Operator.__init__
+        # mode (incl. the routed-f32 fallback, with its warning) was
+        # already resolved by Operator.__init__; the fused/view_times
+        # decision is re-made below against the SHARDED Pallas envelope
         mode = self._mode
         self._sharded_routed = None
         if mode == "routed":
@@ -200,6 +213,21 @@ class ShardedOperator(Operator):
         else:
             self._off2 = self._wt = None
 
+        # fused + fractional view_times: the per-shard Pallas engine
+        # lerps in-kernel (same as single-device); the XLA blockwise
+        # fallback has no doubled-table analog, so outside the Pallas
+        # envelope demote to precomputed (doubled tables) — silently
+        # dropping the lerp would be WRONG, not just slow
+        if (self._mode == "fused" and self._time_w is not None
+                and not self._fused_pallas_sharded()):
+            import warnings
+
+            warnings.warn(
+                "sharded fused mode supports view_times only in the "
+                "in-kernel Pallas engine (unavailable here); falling "
+                "back to mode='precomputed'")
+            self._mode = "precomputed"
+
         self.lin = self.lens = None
         if self._mode == "precomputed":
             lin, lens = self._build_sharded_tables()
@@ -207,9 +235,9 @@ class ShardedOperator(Operator):
 
     def _fused_pallas_sharded(self) -> bool:
         """Whether fused mode runs the in-kernel Pallas engine per shard
-        (same policy as Operator._fused_pallas; lerp-doubled 4D tables
-        have no fused analog, and f64 is outside the envelope)."""
-        if self._mode != "fused" or self._wt is not None:
+        (same policy as Operator._fused_pallas; time-interpolated 4D
+        runs in-kernel as a second density stream)."""
+        if self._mode != "fused":
             return False
         be = self.config.fused_backend
         if be == "xla":
@@ -650,6 +678,7 @@ class ShardedOperator(Operator):
                 self._block, jnp.dtype(self.config.itype).name,
                 pallas=self._fused_pallas_sharded(),
                 interpret=bool(self.config.interpret),
+                off2=self._off2, w=self._wt,
             )
         out = out[:, : self._nrays]
         return out.reshape(*chan, *self._rshape)

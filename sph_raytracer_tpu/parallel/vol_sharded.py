@@ -45,7 +45,6 @@ from .routed_sharded import (
     BWD_BANDED_FIELDS,
     FWD_BANDED_FIELDS,
     _btd_of,
-    _first_of,
     _ft_of,
     _pad_banded,
     put_sharded_tables,
@@ -55,42 +54,21 @@ __all__ = ["VolShardedOperator", "shard_banded_tables_vol"]
 
 
 def _slice_rt8_vol(rt, wlo, whi, wins_per):
-    """Window-range slice of SR=8 routed tables (windows renumbered to
-    the shard-local range).  Chunks are selected by mask — the global
-    (tile, sg, rep) chunk order is preserved, so per-tile band order
-    (and the forward's consecutive-output-revisit invariant) holds."""
-    sel = (rt.sg >= wlo) & (rt.sg < whi)
-    idx = np.flatnonzero(sel)
-    rows = (idx[:, None] * rt.SR + np.arange(rt.SR)[None, :]).reshape(-1)
-    sg_l = rt.sg[idx] - wlo
-    tile_l = rt.tile[idx]
-    bwd_order = np.lexsort((tile_l, sg_l)).astype(np.int32)
-    sgs = sg_l[bwd_order] if len(bwd_order) else sg_l
+    """Window-range slice of SR=8 routed tables, windows renumbered to
+    the shard-local range (``route.select_chunks`` does the chunk-mask
+    subsetting; the global (tile, sg, rep) chunk order is preserved, so
+    per-tile band order — and the forward's consecutive-output-revisit
+    invariant — holds).  ``volume_size`` becomes the slab's row count:
+    it is only consumed by pad/unpad helpers, which the sharded
+    operator handles globally."""
+    from ..ops.route import _covered, select_chunks
+
+    sub = select_chunks(rt, (rt.sg >= wlo) & (rt.sg < whi))
+    sg_l = sub.sg - wlo
     H_local = wins_per * rt.SR
-    wc = np.zeros(wins_per, np.int8)
-    if len(sg_l):
-        wc[sg_l] = 1
     return dataclasses.replace(
-        rt,
-        lvw=rt.lvw[rows], w=rt.w[rows], hi8=rt.hi8[rows],
-        lp8=rt.lp8[rows], perm=rt.perm[rows], put=rt.put[rows],
-        putv=rt.putv[rows], kcol=rt.kcol[rows], rposf=rt.rposf[rows],
-        rposb=rt.rposb[rows], wp=rt.wp[rows], lp8p=rt.lp8p[rows],
-        kcolp=rt.kcolp[rows],
-        src=rt.src[:, rows], hik=rt.hik[:, rows],
-        sg=sg_l, tile=tile_l,
-        kmax=rt.kmax[idx], sdf=rt.sdf[idx], sdb=rt.sdb[idx],
-        tiles_covered=rt.tiles_covered,
-        wins_covered=wc,
-        fwd_first=_first_of(tile_l),
-        bwd_order=bwd_order,
-        bwd_first=(np.r_[1, (sgs[1:] != sgs[:-1]).astype(np.int32)]
-                   if len(sgs) else np.ones(1, np.int32)),
-        NC=len(idx), H=H_local,
-        # volume_size is only consumed by pad/unpad helpers, which the
-        # sharded operator handles globally; keep the slab's row count
-        volume_size=H_local * LANES, n_live=int((rt.w[rows] > 0).sum()),
-    )
+        sub, sg=sg_l, H=H_local, volume_size=H_local * LANES,
+        wins_covered=_covered(sg_l, wins_per))
 
 
 def shard_banded_tables_vol(rt8, n_devices: int, B: int = 8,
@@ -142,10 +120,9 @@ def vol_sharded_banded_project(mesh, ftables, btables, meta: RoutedMeta,
     ``d2`` is the (D·H_local, 128) density image, row-sharded over the
     mesh.  Forward psums the per-slab partial images; the VJP's density
     gradient comes out row-sharded with no collective."""
-    from ..ops.routed_project import _bwd_banded_pallas, _fwd_banded_pallas
+    from ..ops.routed_project import _fwd_banded_pallas
 
     fkeys = sorted(ftables)
-    bkeys = sorted(btables)
 
     @jax.custom_vjp
     def project(d2, ftables, btables):

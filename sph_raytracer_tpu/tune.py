@@ -123,6 +123,7 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
         base = base.replace(ftype=ftype)
     candidates = list(candidates or DEFAULT_CANDIDATES)
 
+    K = 6  # scan-chain length of the production metric (see below)
     backend = jax.default_backend()
     cdir = os.environ.get("SPH_TPU_TUNE_CACHE") or os.path.expanduser(
         "~/.cache/sph_raytracer_tpu")
@@ -140,6 +141,16 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
     if cache and not force and os.path.exists(read_path):
         with open(read_path) as fh:
             saved = json.load(fh)
+        # entries measured under the old per-call metric are stale for a
+        # MEASURING call (the rankings were observed to disagree with
+        # scan-step); cached_only callers still use them opportunistically
+        # (a per-call-tuned layout beats untuned defaults)
+        if (saved.get("metric") != f"scan-step-x{K}"
+                and not cached_only):
+            saved = None
+    else:
+        saved = None
+    if saved is not None:
         fields = saved.get("fields") or {
             "routed_bands": int(saved["bands"]),
             "routed_band_rows": int(saved["band_rows"])}
@@ -166,7 +177,6 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
     # 12.3 ms per-call but 11.6 vs 12.0 scan-step — per-call runs fwd
     # and bwd as separate dispatches with different critical paths), so
     # the tuner must time what gd runs (VERDICT r3 weak #4).
-    K = 6
     results = []
     for cand in candidates:
         fields = _norm_candidate(cand)

@@ -175,7 +175,8 @@ def test_fused_pallas_dynamic_sweep(monkeypatch):
     op = Operator(grid, geom, mode="precomputed", ftype=jnp.float32)
     x = jnp.asarray(np.random.default_rng(5).random(V), jnp.float32)
     xs, rays = _geo(geom)
-    monkeypatch.setattr(fp, "_needs_dynamic", lambda H, Mp: True)
+    monkeypatch.setattr(fp, "_needs_dynamic",
+                        lambda H, Mp, nstreams=1: True)
     fp._fused_pallas_call.clear_cache()
     try:
         y = fp.fused_pallas_project(gs, x, xs, rays, jnp.int32, True)

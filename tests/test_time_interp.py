@@ -235,3 +235,34 @@ def test_fused_pallas_lerp_matches_precomputed(setup):
     gp = np.asarray(jax.grad(
         lambda d: jnp.mean((op_p(d) - y0) ** 2))(v32))
     assert np.allclose(gf, gp, atol=1e-5), np.abs(gf - gp).max()
+
+
+def test_sharded_fused_lerp_correct(setup):
+    """Regression (round-4 review): ShardedOperator with mode='fused'
+    and fractional view_times must lerp — either through the per-shard
+    Pallas engine or by demoting to precomputed — never silently drop
+    the interpolation."""
+    from sph_raytracer_tpu.parallel import ShardedOperator, make_mesh
+
+    grid, vol = setup
+    geom = _orbit(4)
+    frac = np.asarray(grid.t) + 0.4 * np.diff(grid.t, append=grid.t[-1])
+    cfg = TraceConfig(mode="fused", interpret=True,
+                      fused_backend="pallas", ftype=jnp.float32)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg,
+                          view_times=frac)
+    op = Operator(grid, geom, ftype=jnp.float32, view_times=frac)
+    v32 = vol.astype(jnp.float32)
+    ys = np.asarray(sop(v32))
+    yp = np.asarray(op(v32))
+    assert np.allclose(ys, yp, atol=5e-3), np.abs(ys - yp).max()
+    # and the XLA-only sharded path demotes (with a warning) instead of
+    # dropping the lerp
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sop2 = ShardedOperator(grid, geom, mesh=make_mesh(),
+                               config=cfg.replace(fused_backend="xla"),
+                               view_times=frac)
+    assert sop2._mode == "precomputed"
+    assert any("view_times" in str(w.message) for w in rec)
+    assert np.allclose(np.asarray(sop2(v32)), yp, atol=5e-3)
