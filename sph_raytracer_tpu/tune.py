@@ -177,27 +177,30 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
     # 12.3 ms per-call but 11.6 vs 12.0 scan-step — per-call runs fwd
     # and bwd as separate dispatches with different critical paths), so
     # the tuner must time what gd runs (VERDICT r3 weak #4).
+    def measure(fields):
+        cfg = base.replace(**fields)
+        op = Operator(grid, geom, config=cfg)
+        y = op(x)
+
+        def one_step(d, _, pl, _op=op, _y=y):
+            fx = _op.with_payload(pl)
+            g = jax.grad(
+                lambda v: jnp.mean((fx(v) - _y) ** 2))(d)
+            return d - 1e-3 * g, ()
+
+        @jax.jit
+        def step_chunk(d, pl, _one=one_step):
+            return jax.lax.scan(lambda c, s: _one(c, s, pl), d,
+                                None, length=K)[0]
+
+        return time_fn(step_chunk, x, op.payload,
+                       iters=max(2, iters // 2)) / K
+
     results = []
     for cand in candidates:
         fields = _norm_candidate(cand)
-        cfg = base.replace(**fields)
         try:
-            op = Operator(grid, geom, config=cfg)
-            y = op(x)
-
-            def one_step(d, _, pl, _op=op, _y=y):
-                fx = _op.with_payload(pl)
-                g = jax.grad(
-                    lambda v: jnp.mean((fx(v) - _y) ** 2))(d)
-                return d - 1e-3 * g, ()
-
-            @jax.jit
-            def step_chunk(d, pl, _one=one_step):
-                return jax.lax.scan(lambda c, s: _one(c, s, pl), d,
-                                    None, length=K)[0]
-
-            t = time_fn(step_chunk, x, op.payload,
-                        iters=max(2, iters // 2)) / K
+            t = measure(fields)
         except Exception as e:  # layout infeasible (e.g. VMEM) — skip
             if verbose:
                 print(f"[autotune] {fields}: FAILED "
@@ -207,10 +210,28 @@ def autotune(grid, geom, candidates: Optional[Sequence] = None,
         if verbose:
             print(f"[autotune] {fields}: {t*1e3:.2f} ms/step "
                   f"[scan-chained x{K}]", file=sys.stderr)
-        del op
     if not results:
         raise RuntimeError("autotune: every candidate failed")
     results.sort(key=lambda r: r[0])
+    # confirm the winner: relayed-device slope timing occasionally
+    # glitches to a nonsense-low figure (observed: 0.70 ms for a layout
+    # whose forward alone is ~3.5 ms); re-measure the leader and keep
+    # the SLOWER of the two readings, re-sorting until the leader's
+    # confirmation agrees within 1.4x (tables are cached, so a
+    # confirmation costs one timing run, not a rebuild)
+    for _ in range(min(3, len(results))):
+        t, fields = results[0]
+        try:
+            t2 = measure(fields)
+        except Exception:
+            t2 = float("inf")
+        if verbose and abs(t2 - t) > 0.4 * t:
+            print(f"[autotune] confirm {fields}: {t*1e3:.2f} -> "
+                  f"{t2*1e3:.2f} ms/step", file=sys.stderr)
+        results[0] = (max(t, t2), fields)
+        results.sort(key=lambda r: r[0])
+        if results[0][1] is fields and t2 <= 1.4 * t:
+            break
     t, fields = results[0]
     if cache:
         os.makedirs(cdir, exist_ok=True)
