@@ -36,7 +36,7 @@ __all__ = ["autotune", "DEFAULT_CANDIDATES"]
 # fields, e.g. {"routed_g": 2048, "routed_kd": 2, "routed_bands": 16} —
 # see GRID_CANDIDATES for a wider sweep used on dense configs.
 DEFAULT_CANDIDATES: Tuple[Tuple[int, int], ...] = (
-    (16, 8), (32, 8), (64, 8), (16, 16), (32, 16), (16, 32),
+    (16, 8), (32, 8), (64, 8), (96, 8), (128, 8), (32, 16),
 )
 
 # wider (KD, B) sweep for crossing-dense problems (vol100 /
@@ -51,7 +51,7 @@ GRID_CANDIDATES: Tuple[dict, ...] = tuple(
     {"routed_g": 4096, "routed_kd": kd, "routed_bands": b,
      "routed_band_rows": 8, "routed_voxel_order": vo}
     for kd in (2, 3)
-    for b in (32, 64)
+    for b in (64, 96)
     for vo in ("a", "r")
 )
 
