@@ -81,3 +81,11 @@ def test_poisson_retrieval(tmp_path, monkeypatch, capsys):
     # the physically matched solver wins on Poisson data
     assert em < cgr
     assert em < 0.2, em
+
+
+def test_volume_sharded_reduced(tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_GRID", "12")
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_VIEWS", "4")
+    monkeypatch.setenv("SPH_TPU_EXAMPLE_G", "128")
+    run_example("volume_sharded.py", tmp_path, monkeypatch)
+    assert "rays/s" in capsys.readouterr().out
