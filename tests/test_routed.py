@@ -341,3 +341,26 @@ def test_select_chunks_and_split_reps_partition():
     y_sum = fwd(select_chunks(rt, dm)) + fwd(select_chunks(rt, om))
     assert np.allclose(y_sum, y_full, atol=1e-5), \
         np.abs(y_sum - y_full).max()
+
+
+def test_fill_dummy_ptrs():
+    """route._fill_dummy_ptrs: dummies inherit the nearest real pointer
+    at the same slot (forward fill; leading dummies take the next real;
+    all-dummy slots stay 0)."""
+    import numpy as np
+
+    from sph_raytracer_tpu.ops.route import _fill_dummy_ptrs
+
+    bp = np.array([[5, 0, 0, 7],
+                   [0, 3, 0, 0],
+                   [0, 0, 0, 0]], np.int32)
+    dummy = np.array([[0, 1, 1, 0],
+                      [1, 0, 1, 1],
+                      [1, 1, 1, 1]], bool)
+    out = _fill_dummy_ptrs(bp, dummy)
+    assert out.tolist() == [[5, 5, 5, 7],
+                            [3, 3, 3, 3],
+                            [0, 0, 0, 0]]
+    # no dummies: identity
+    nb = np.arange(8, dtype=np.int32).reshape(2, 4)
+    assert np.array_equal(_fill_dummy_ptrs(nb, np.zeros((2, 4), bool)), nb)
