@@ -227,3 +227,33 @@ def test_fused_routed_bwd_hybrid():
         return jax.grad(lambda v: jnp.mean((fx(v) - y0) ** 2))(d)
 
     assert np.allclose(np.asarray(step(x, pl)), gp, atol=1e-5)
+
+
+def test_fused_routed_bwd_hybrid_view_times():
+    """fused_bwd='routed' with time-interpolated 4D: the fused forward
+    lerps in-kernel while the backward tables carry the lerp-doubled
+    crossings — grads must match the precomputed oracle."""
+    T = 3
+    grid = SphericalGrid(shape=(T, 8, 6, 6), size_t=(0.0, 10.0))
+    geom = sum(
+        ConeRectGeom((5, 6), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, np.pi, 4, endpoint=False))
+    times = np.array([0.0, 3.3, 6.7, 10.0])
+    x = jnp.asarray(np.random.default_rng(2).random(tuple(grid.shape)),
+                    jnp.float32)
+    cfg = TraceConfig(mode="fused", interpret=True,
+                      fused_backend="pallas", fused_bwd="routed",
+                      routed_g=128, routed_chunk_multiple=2)
+    op_h = Operator(grid, geom, config=cfg, view_times=times)
+    assert op_h._fused_btd is not None and op_h._time_w is not None
+    op_p = Operator(grid, geom, ftype=jnp.float32, view_times=times)
+    y0 = jnp.asarray(np.asarray(op_p(x)))
+    yh = np.asarray(op_h(x))
+    assert np.allclose(yh, np.asarray(y0), atol=5e-3), \
+        np.abs(yh - np.asarray(y0)).max()
+    gh = np.asarray(jax.grad(
+        lambda d: jnp.mean((op_h(d) - y0) ** 2))(x))
+    gp = np.asarray(jax.grad(
+        lambda d: jnp.mean((op_p(d) - y0) ** 2))(x))
+    assert np.allclose(gh, gp, atol=1e-5), np.abs(gh - gp).max()
