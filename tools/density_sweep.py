@@ -41,6 +41,14 @@ CANDIDATES = [
      "routed_voxel_order": "r"},                    # vol100/config5 winner
     {"routed_g": 4096, "routed_kd": 3, "routed_bands": 32,
      "routed_voxel_order": "r"},
+    # round-4 queue: the scan-step-metric re-tune moved the flagship
+    # optimum from B=32 to B=96 (pointer-constant dy slots once B >= T);
+    # probe whether the dense configs follow (B=96/128 at the vol100
+    # winner's KD=2, vo='r' context)
+    {"routed_g": 4096, "routed_kd": 2, "routed_bands": 96,
+     "routed_voxel_order": "r"},
+    {"routed_g": 4096, "routed_kd": 2, "routed_bands": 128,
+     "routed_voxel_order": "r"},
 ]
 
 
@@ -50,7 +58,9 @@ def main():
 
     from sph_raytracer_tpu import ConeRectGeom, SphericalGrid, autotune
 
-    names = sys.argv[1:] or list(CONFIGS)
+    argv = [a for a in sys.argv[1:] if a != "--force"]
+    force = len(argv) != len(sys.argv) - 1
+    names = argv or list(CONFIGS)
     for name in names:
         vshape, nviews, det = CONFIGS[name]
         grid = SphericalGrid(shape=vshape)
@@ -62,7 +72,8 @@ def main():
         nrays = int(np.prod(geom.shape))
         print(f"=== {name}: vol={vshape} views={nviews} det={det} "
               f"({nrays} rays) ===", flush=True)
-        cfg = autotune(grid, geom, candidates=CANDIDATES, verbose=True)
+        cfg = autotune(grid, geom, candidates=CANDIDATES, verbose=True,
+                       force=force)
         print(f"[{name}] winner: G={cfg.routed_g} KD={cfg.routed_kd} "
               f"B={cfg.routed_bands}", flush=True)
 
