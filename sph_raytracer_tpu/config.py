@@ -96,16 +96,23 @@ class TraceConfig:
     # memory); 'xla' = the blockwise lax.map re-trace (ops/project.py);
     # 'auto' = pallas on TPU when fused_pallas.supported() else xla.
     fused_backend: str = "auto"
-    # fused-mode BACKWARD: 'retrace' (default) re-traces blockwise in
-    # XLA inside the custom VJP — zero residuals, zero tables, but
-    # ~555 ms/step flagship (the checkpointing transpose); 'routed'
-    # builds the BANDED BACKWARD tables once (device-routed, ~half the
-    # full routed engine's table memory — the forward stays zero-table
-    # in-kernel Pallas) and runs the hand-written banded backward
-    # kernel in the VJP (~2.5 ms flagship).  The fast-training option
-    # for fused-envelope workloads whose FULL table set doesn't fit;
-    # ignored outside mode='fused'/pallas backend.
-    fused_bwd: str = "retrace"
+    # fused-mode BACKWARD: 'retrace' re-traces blockwise in XLA inside
+    # the custom VJP — zero residuals, zero tables, but ~555 ms/step
+    # flagship (the checkpointing transpose); 'routed' builds the BANDED
+    # BACKWARD tables once (device-routed, ~half the full routed
+    # engine's table memory — the forward stays zero-table in-kernel
+    # Pallas) and runs the hand-written banded backward kernel in the
+    # VJP (~2.5 ms flagship; full step 659 -> 104 ms measured).  The
+    # fast-training option for fused-envelope workloads whose FULL
+    # table set doesn't fit; ignored outside mode='fused'/pallas
+    # backend.  'auto' (default) selects 'routed' whenever the Pallas
+    # fused engine is active (TPU or interpret) but defers the table
+    # build until the first gradient/payload use, so forward-only fused
+    # operators (preview3d, geometry sweeps) keep their zero-table
+    # zero-setup cost; explicit 'routed' builds eagerly at construction.
+    # MEMORY: the deferred build adds ~half the routed engine's banded
+    # tables (~1.3 GB flagship) on first training use.
+    fused_bwd: str = "auto"
     # where the routing tables are BUILT: 'host' = trace on the host +
     # numpy/C++ router + upload (the original pipeline); 'device' = trace
     # AND route on the accelerator (ops/route_device.py) — no host

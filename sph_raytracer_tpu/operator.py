@@ -222,6 +222,22 @@ class Operator:
                     "the envelope); falling back to mode='precomputed'")
                 mode = "precomputed"
         self._mode = mode
+        if config.fused_bwd not in ("auto", "retrace", "routed"):
+            raise ValueError(f"fused_bwd={config.fused_bwd!r} "
+                             "(want 'auto', 'retrace' or 'routed')")
+        # resolve fused_bwd='auto': 'routed' whenever the in-kernel
+        # Pallas fused engine is active (TPU or interpret), but LAZY —
+        # the banded backward tables build at first gradient / payload /
+        # T() use, so forward-only fused operators keep mode='fused's
+        # zero-table zero-setup promise (config.py docstring).
+        self._fused_bwd = config.fused_bwd
+        self._fused_bwd_lazy = False
+        if config.fused_bwd == "auto":
+            if mode == "fused" and self._fused_pallas():
+                self._fused_bwd = "routed"
+                self._fused_bwd_lazy = True
+            else:
+                self._fused_bwd = "retrace"
         # voxel linearization of the routed tables (config docstring):
         # purely an internal table/density layout — the public surface
         # (density argument, lin/lens mirrors, debug) stays canonical
@@ -237,7 +253,7 @@ class Operator:
                              "(want 'f32' or 'bf16')")
         uses_banded = config.routed_banded and (
             mode == "routed"
-            or (mode == "fused" and config.fused_bwd == "routed"))
+            or (mode == "fused" and self._fused_bwd == "routed"))
         if config.routed_w_dtype == "bf16" and not uses_banded:
             import warnings
 
@@ -256,14 +272,11 @@ class Operator:
 
             debug_trace(self, debug_los)
 
-        if config.fused_bwd not in ("retrace", "routed"):
-            raise ValueError(f"fused_bwd={config.fused_bwd!r} "
-                             "(want 'retrace' or 'routed')")
         self.lin = self.lens = None
         self._routed = None
         self._fused_btd = None
-        if (_compute and mode == "fused" and config.fused_bwd == "routed"
-                and self._fused_pallas()):
+        if (_compute and mode == "fused" and self._fused_bwd == "routed"
+                and not self._fused_bwd_lazy and self._fused_pallas()):
             self._build_fused_routed_bwd()
         if _compute and mode in ("precomputed", "routed"):
             dev_route = mode == "routed" and self._use_device_router()
@@ -700,6 +713,41 @@ class Operator:
         proj.defvjp(proj_f, proj_b)
         self._fused_hybrid_proj = proj
 
+    def _ensure_fused_btd(self):
+        """Deferred fused_bwd='auto' table build (config.py docstring):
+        first gradient / payload / T() use pays the one-time bwd-only
+        banded build; plain forward projections never do."""
+        if self._fused_btd is None:
+            self._build_fused_routed_bwd()
+        return self._fused_btd
+
+    def _fused_lazy_hybrid(self):
+        """custom_vjp wrapper for the deferred fused_bwd='auto' build:
+        the primal is the zero-table fused forward; the fwd rule — which
+        JAX invokes only under differentiation — triggers the banded
+        backward table build.  NOTE: tables reached this way enter a
+        surrounding jit trace as CONSTANTS; production training loops
+        should thread ``op.payload`` (gd()/solvers do), which routes
+        through the payload-threaded hybrid instead."""
+        proj = getattr(self, "_fused_lazy_proj", None)
+        if proj is not None:
+            return proj
+
+        @jax.custom_vjp
+        def proj(flat):
+            return self._fused_pallas_fwd_one(flat)
+
+        def proj_f(flat):
+            self._ensure_fused_btd()
+            return proj(flat), self._fused_btd
+
+        def proj_b(btd, dy):
+            return (self._fused_adj(dy.astype(jnp.float32), btd),)
+
+        proj.defvjp(proj_f, proj_b)
+        self._fused_lazy_proj = proj
+        return proj
+
     def _fused_pallas_fwd_one(self, flat):
         """Single-channel fused Pallas forward on a flat volume."""
         from .ops.fused_pallas import fused_pallas_project
@@ -957,6 +1005,9 @@ class Operator:
         should pass ``payload`` in and rebind with :meth:`with_payload`."""
         if self._routed is not None:
             return {"dt": self._dt}
+        if (self._fused_btd is None and self._fused_bwd_lazy
+                and self._mode == "fused"):
+            self._ensure_fused_btd()
         if self._fused_btd is not None:
             return {"fbtd": self._fused_btd}
         if self.lin is not None:
@@ -979,13 +1030,32 @@ class Operator:
         return new
 
     # ------------------------------------------------------------------
+    # rays*M threshold above which .regs warns before materializing the
+    # (3, rays, M) tensor on device (~4 GB-class at the flagship config;
+    # an attribute access should not silently do that on a relayed TPU)
+    REGS_WARN_ELEMS = 10**7
+
     @property
     def regs(self):
         """(3, *geom.shape, M) region triplets, recomputed on demand
         (the packed table is what's cached; reference caches this tensor,
-        raytracer.py:675-679)."""
+        raytracer.py:675-679).  Warns above ``REGS_WARN_ELEMS`` rays*M
+        elements — at production scale this tensor is GB-class and the
+        debug paths (`utils.debug.debug_trace`) cover per-LOS inspection
+        in O(M)."""
         from .ops.trace import trace_crossings
 
+        elems = int(self._nrays) * int(self.gs.num_crossings)
+        if elems > self.REGS_WARN_ELEMS:
+            import warnings
+
+            warnings.warn(
+                f"Operator.regs materializes a (3, {self._nrays}, "
+                f"{self.gs.num_crossings}) tensor "
+                f"({3 * elems * jnp.dtype(self.config.itype).itemsize / 2**30:.1f}"
+                " GiB on device); for per-LOS inspection use "
+                "Operator(debug=True)/utils.debug.debug_trace instead",
+                stacklevel=2)
         regs, _, _ = trace_crossings(
             self.gs, self._xs, self._rays, itype=self.config.itype
         )
@@ -1046,6 +1116,14 @@ class Operator:
                 self._fused_hybrid_proj(flat2[i], self._fused_btd)
                 for i in range(flat2.shape[0])
             ])
+            return out.reshape(*flat.shape[:-1], -1)
+        if self._fused_bwd_lazy and self._fused_pallas():
+            # fused_bwd='auto' before first training use: zero-table
+            # forward whose custom VJP builds the banded bwd on demand
+            proj = self._fused_lazy_hybrid()
+            flat2 = flat.reshape(-1, self._flat_size)
+            out = jnp.stack([proj(flat2[i])
+                             for i in range(flat2.shape[0])])
             return out.reshape(*flat.shape[:-1], -1)
         if self._fused_pallas():
             from .ops.fused_pallas import fused_pallas_project
@@ -1114,6 +1192,11 @@ class Operator:
                 for i in range(yf2.shape[0])
             ])
             return out.reshape(*chan, *self.grid.shape)
+        if (self._fused_btd is None and self._fused_bwd_lazy
+                and self._mode == "fused"):
+            # fused_bwd='auto': ride the banded adjoint (no lin/lens
+            # materialization) — built on first T() use
+            self._ensure_fused_btd()
         if self._fused_btd is not None:
             yf2 = yf.reshape(-1, self._nrays)
             out = jnp.stack([

@@ -257,3 +257,47 @@ def test_fused_routed_bwd_hybrid_view_times():
     gp = np.asarray(jax.grad(
         lambda d: jnp.mean((op_p(d) - y0) ** 2))(x))
     assert np.allclose(gh, gp, atol=1e-5), np.abs(gh - gp).max()
+
+
+def test_fused_bwd_auto_lazy():
+    """fused_bwd='auto' (round 5, VERDICT r4 #4): resolves to 'routed'
+    whenever the Pallas fused engine is active, but the banded backward
+    build is DEFERRED — construction and pure forward projections stay
+    zero-table (the fused promise); the first gradient, payload access,
+    or T() call triggers the bwd-only build, and the gradient matches
+    the precomputed oracle."""
+    grid = SphericalGrid(shape=(12, 8, 8))
+    geom = sum(
+        ConeRectGeom((6, 8), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random(tuple(grid.shape)), jnp.float32)
+    cfg = TraceConfig(mode="fused", interpret=True,
+                      fused_backend="pallas", routed_g=128,
+                      routed_chunk_multiple=2)  # fused_bwd left at 'auto'
+    op = Operator(grid, geom, config=cfg)
+    assert op._fused_bwd == "routed" and op._fused_bwd_lazy
+    assert op._fused_btd is None  # zero tables at construction
+    y = op(x)
+    assert op._fused_btd is None  # ...and after a forward-only call
+    op_p = Operator(grid, geom, ftype=jnp.float32)
+    y0 = jnp.asarray(np.asarray(op_p(x)))
+    assert np.allclose(np.asarray(y), np.asarray(y0), atol=2e-5)
+    # first gradient triggers the bwd-only banded build via custom VJP
+    gh = np.asarray(jax.grad(lambda d: jnp.mean((op(d) - y0) ** 2))(x))
+    assert op._fused_btd is not None
+    gp = np.asarray(jax.grad(lambda d: jnp.mean((op_p(d) - y0) ** 2))(x))
+    assert np.allclose(gh, gp, atol=1e-5), np.abs(gh - gp).max()
+    # payload carries the built tables (the gd()/solver threading path)
+    assert "fbtd" in op.payload
+    # T() rides the banded adjoint, not a lin/lens materialization
+    op2 = Operator(grid, geom, config=cfg)
+    assert op2._fused_btd is None
+    bt = np.asarray(op2.T(y0))
+    assert op2._fused_btd is not None and op2.lin is None
+    assert np.allclose(bt, np.asarray(op_p.T(y0)), atol=1e-4)
+    # outside the Pallas engine (CPU backend, no interpret) auto keeps
+    # the zero-residual retrace
+    op_cpu = Operator(grid, geom, mode="fused")
+    assert op_cpu._fused_bwd == "retrace" and not op_cpu._fused_bwd_lazy

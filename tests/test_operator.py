@@ -264,3 +264,22 @@ def test_itype_overflow_guard():
     with pytest.raises(OverflowError):
         Operator(grid, geom, itype=jnp_.int8, _compute=False)
     Operator(grid, geom, itype=jnp_.int16, _compute=False)  # 512 fit int16
+
+
+def test_regs_size_guard(small, monkeypatch):
+    """Operator.regs warns before materializing the (3, rays, M) tensor
+    above REGS_WARN_ELEMS rays*M (VERDICT r4 weak #6) — at production
+    scale that is a GB-class device allocation reachable from a bare
+    attribute access.  Below the threshold: silent; above (threshold
+    lowered for the test): one warning, same tensor."""
+    import warnings
+
+    grid, geom, op = small
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        r0 = np.asarray(op.regs)  # small problem: no warning
+    monkeypatch.setattr(Operator, "REGS_WARN_ELEMS", 10)
+    with pytest.warns(UserWarning, match="materializes"):
+        r1 = np.asarray(op.regs)
+    assert np.array_equal(r0, r1)
+    assert r0.shape[0] == 3 and r0.shape[1:-1] == tuple(geom.shape)

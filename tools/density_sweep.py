@@ -58,9 +58,12 @@ def main():
 
     from sph_raytracer_tpu import ConeRectGeom, SphericalGrid, autotune
 
-    argv = [a for a in sys.argv[1:] if a != "--force"]
-    force = len(argv) != len(sys.argv) - 1
-    names = argv or list(CONFIGS)
+    force = "--force" in sys.argv[1:]
+    names = [a for a in sys.argv[1:] if a != "--force"] or list(CONFIGS)
+    unknown = [n for n in names if n not in CONFIGS]
+    if unknown:
+        sys.exit(f"unknown config(s) {unknown}; valid: {sorted(CONFIGS)} "
+                 "(plus --force to re-measure past the sidecar)")
     for name in names:
         vshape, nviews, det = CONFIGS[name]
         grid = SphericalGrid(shape=vshape)
