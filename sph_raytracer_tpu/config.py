@@ -150,6 +150,18 @@ class TraceConfig:
     # Requires 16-row block tiling (SRb·B multiple of 16; tiny configs
     # fall back to f32 with a warning).
     routed_w_dtype: str = "f32"
+    # forward reduce of the BANDED routed engine: 'masks' (default) =
+    # per-output-bucket masked row-sums (per-chunk work ~ HI x rows —
+    # the cost that re-paid the G=8192 fill gains in the round-4 "rows
+    # law" study); 'hist' = the round-5 histogram-placement reduce
+    # (route.hist_pack_fwd + _fwd_banded_hist_pallas): run totals are
+    # vertically folded and PLACED at their (h%8, lane) slots by 8-row
+    # sublane gathers, then octave-reduced into y — per-chunk work
+    # ~ rows x (kv + HI/32), nearly HI-independent.  Requires
+    # routed_band_rows=8; implies the host build (its placement tables
+    # are host-derived); gradients are identical math but a different
+    # summation order than 'masks' (float-level differences only).
+    routed_fwd_reduce: str = "masks"
     # voxel linearization the ROUTED engine's tables are built in: 'a' =
     # the canonical azimuth-innermost C-order of (r, e, a) — the
     # reference's layout; 'r' = radius-innermost ((e, a, r) C-order).

@@ -274,6 +274,15 @@ class Operator:
         if config.routed_w_dtype not in ("f32", "bf16"):
             raise ValueError(f"routed_w_dtype={config.routed_w_dtype!r} "
                              "(want 'f32' or 'bf16')")
+        if config.routed_fwd_reduce not in ("masks", "hist"):
+            raise ValueError(
+                f"routed_fwd_reduce={config.routed_fwd_reduce!r} "
+                "(want 'masks' or 'hist')")
+        if (config.routed_fwd_reduce == "hist"
+                and config.routed_band_rows != 8):
+            raise ValueError("routed_fwd_reduce='hist' needs "
+                             "routed_band_rows=8 (the placement gathers "
+                             "address within 8-row bands)")
         uses_banded = config.routed_banded and (
             mode == "routed"
             or (mode == "fused" and self._fused_bwd == "routed"))
@@ -569,6 +578,11 @@ class Operator:
             return False
         if not cfg.routed_banded:
             return False  # only the banded engine has a device builder
+        if cfg.routed_fwd_reduce == "hist":
+            # the histogram-reduce placement tables (route.hist_pack_fwd)
+            # are host-built for now; keep the whole build on the host so
+            # the packed fwd tables are available as numpy
+            return False
         if cfg.routed_build == "device":
             return True
         # auto: on-device when the kernels will actually run there (a CPU
@@ -979,7 +993,17 @@ class Operator:
                       f"banded)", file=sys.stderr)
         t0 = time.time()
         wdt = self._w_dtype(btF.SRb * btF.B, btB.SRb * btB.B)
-        ft, meta = banded_device_fwd(btF, w_dtype=wdt)
+        hist = None
+        if cfg.routed_fwd_reduce == "hist" and not df:
+            from .ops.route import hist_pack_fwd
+
+            hist = hist_pack_fwd(btF)
+            if timing:
+                import sys
+
+                print(f"[timing] hist tables KV={hist.KV}",
+                      file=sys.stderr)
+        ft, meta = banded_device_fwd(btF, w_dtype=wdt, hist=hist)
         btd, metab = banded_device_bwd(btB, w_dtype=wdt)
         if timing:
             import sys
@@ -998,12 +1022,14 @@ class Operator:
         vshape, vo = tuple(self.grid.vshape), self._vorder
         SRb = cfg.routed_band_rows
 
+        hkv = 0 if hist is None else hist.KV
+
         @jax.jit
         def fwd_one(flat, dt):
             ft, btd = dt
             d2 = btF.pad_density(voxel_order_flat(flat, vshape, vo))
             y = banded_project(d2, ft, btd, meta, metab, B, interp,
-                               df, db, SRb)
+                               df, db, SRb, hkv)
             return y.reshape(-1)[: meta.n_rays]
 
         @jax.jit

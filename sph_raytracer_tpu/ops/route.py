@@ -1130,3 +1130,90 @@ def _empty_banded(rt: RoutedTables, B: int, by: str,
         n_rays=rt.n_rays, volume_size=rt.volume_size,
         scan_fwd=rt.scan_fwd, scan_bwd=rt.scan_bwd,
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram-placement forward reduce (round 5; VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class HistFwdTables:
+    """Placement tables for the histogram forward reduce
+    (:func:`hist_pack_fwd`; consumed by
+    ``routed_project._fwd_banded_hist_pallas``).
+
+    The classic banded forward reduce masks + row-sums the whole
+    (SRB, 128) chunk once per output bucket h — per-chunk work
+    ~ HI x rows, which is what re-paid the G=8192 fill gains in the
+    round-4 "rows law" study.  Here each pass-k run total is instead
+    (1) vertically FOLDED with same-h neighbours in consecutive band
+    rows (3 masked shift-adds keyed by ``vpos``), then (2) PLACED at
+    its (h % 8, lane) position inside its band by an 8-row sublane
+    gather per multiplicity level j (a gather never collides — each
+    destination picks its j-th source), and (3) accumulated into y
+    with one masked (B, 8, 128)->(8, 128) reduction per octave
+    o = h >> 3.  Per-chunk work ~ rows x (KV + OCT/4) — measured on
+    vol100 routing: 98% of destination slots hold exactly ONE partial
+    after the fold (tools/reduce_stats.py + the round-5 sub-run study).
+
+        vpos: (KD, rows, L) int8 — position of the slot inside its
+            vertical same-h run (consecutive band rows, same lane,
+            same hik value); -1 where the pass has no run end.
+        hj:   (KD*KV, rows, L) int8 — placement at DEST coordinates
+            (band row i = h % 8): valid<<7 | oct<<3 | srcrow, where
+            srcrow is the band row holding the folded sub-run total.
+        kv:   (NCB,) int32 — placement levels actually used per
+            superchunk (kernel skips j >= kv).
+    """
+
+    vpos: np.ndarray
+    hj: np.ndarray
+    kv: np.ndarray
+    KV: int
+
+
+def hist_pack_fwd(bt: BandedTables, kv_min: int = 2) -> HistFwdTables:
+    """Build histogram-reduce placement tables from packed fwd tables.
+
+    Band-local: works directly on the band_pack(by='tile') layout
+    (dummy bands produce all-invalid entries).  ``KV`` is sized by the
+    data (global max partials per destination slot), floored at
+    ``kv_min`` so same-scale geometries share kernel shapes.
+    """
+    assert bt.by == "tile" and bt.slots == "pack", (bt.by, bt.slots)
+    assert bt.SRb == 8, "histogram reduce needs 8-row bands"
+    KD, rows = bt.hik.shape[0], bt.hik.shape[1]
+    NB = rows // 8
+    hik = bt.hik.reshape(KD, NB, 8, LANES).astype(np.int32)
+    live = hik >= 0
+    prev = np.concatenate(
+        [np.full((KD, NB, 1, LANES), -2, np.int32), hik[:, :, :-1]], axis=2)
+    start = live & (hik != prev)
+    # vpos: distance to the run start within the band column
+    ridx = np.arange(8)[None, None, :, None]
+    start_row = np.where(start, ridx, -1)
+    start_row = np.maximum.accumulate(start_row, axis=2)
+    vpos = np.where(live, ridx - start_row, -1).astype(np.int8)
+    # run ends: last row of each vertical same-h run
+    nxt = np.concatenate(
+        [hik[:, :, 1:], np.full((KD, NB, 1, LANES), -2, np.int32)], axis=2)
+    is_end = live & (hik != nxt)
+    # placement level j: rank of the sub-run end among the partials
+    # sharing its DEST slot (band, h % 8, lane) in this pass, by end row
+    k_i, b_i, r_i, l_i = np.nonzero(is_end)
+    h_v = hik[k_i, b_i, r_i, l_i]
+    destkey = ((k_i.astype(np.int64) * NB + b_i) * LANES + l_i) * 8 + h_v % 8
+    order = np.lexsort((r_i, destkey))
+    j_of = np.empty(len(order), np.int64)
+    j_of[order] = _cumcount(destkey[order])
+    KV = max(int(j_of.max()) + 1 if len(j_of) else 1, kv_min)
+    hj = np.zeros((KD, KV, NB, 8, LANES), np.int8)
+    pack = (0x80 | ((h_v >> 3) << 3) | r_i).astype(np.int8)
+    hj[k_i, j_of, b_i, h_v % 8, l_i] = pack
+    # per-superchunk placement depth (kernel guard)
+    kv_band = np.zeros(NB, np.int64)
+    np.maximum.at(kv_band, b_i, j_of + 1)
+    kv = kv_band.reshape(bt.NCB, bt.B).max(axis=1).astype(np.int32)
+    return HistFwdTables(
+        vpos=vpos.reshape(KD, rows, LANES),
+        hj=hj.reshape(KD * KV, rows, LANES), kv=kv, KV=KV)

@@ -21,7 +21,7 @@ Forward: ``y (T, HI, 128)`` from ``D2 (H, 128)``.  Backward computes
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -501,8 +501,13 @@ class BandedDeviceFwd(NamedTuple):
     src: jax.Array      # (KD, NCB·8B, L) int8
     hik: jax.Array      # (KD, NCB·8B, L) int8
     bp: jax.Array       # (B, NCB) int32 — density-window pointer per band
-    p2: jax.Array       # (NCB,) int32 — first | kmax<<4 | sdf<<8 | tile<<16
+    p2: jax.Array       # (NCB,) int32 — first | kmax<<4 | sdf<<8 |
+    #                     (hist: kv<<12) | tile<<16
     covered: jax.Array  # (T,) int8 — tiles with real bands
+    # histogram-reduce placement tables (route.hist_pack_fwd; None for
+    # the classic masked reduce)
+    vpos: Optional[jax.Array] = None  # (KD, NCB·8B, L) int8
+    hj: Optional[jax.Array] = None    # (KD·KV, NCB·8B, L) int8
 
 
 class BandedDeviceBwd(NamedTuple):
@@ -518,25 +523,34 @@ class BandedDeviceBwd(NamedTuple):
     covered: jax.Array  # (H//8,) int8 — windows with real bands
 
 
-def banded_device_fwd(bt, w_dtype=None):
+def banded_device_fwd(bt, w_dtype=None, hist=None):
     """Upload forward band tables (bt = band_pack(rt8, by='tile')).
     ``w_dtype`` optionally quantizes the weight table (config
-    routed_w_dtype='bf16' — see config.py for the numerics contract)."""
+    routed_w_dtype='bf16' — see config.py for the numerics contract).
+    ``hist`` (route.hist_pack_fwd output) selects the histogram reduce:
+    its placement tables ride along and hik is replaced by a 1-row
+    dummy (the hist kernel never reads it)."""
     assert bt.by == "tile"
     p2 = (bt.first.astype(np.int32)
           | (bt.kmax.astype(np.int32) << 4)
           | (bt.sdf.astype(np.int32) << 8)
           | (bt.keyp.astype(np.int32) << 16))
+    if hist is not None:
+        p2 = p2 | (hist.kv.astype(np.int32) << 12)
     # cast on the HOST: uploading f32 then casting on-device would double
     # both the transfer bytes and the transient HBM (the capacity this
     # option exists to save)
     w = (jnp.asarray(bt.w) if w_dtype is None
          else jnp.asarray(np.asarray(bt.w, dtype=jnp.dtype(w_dtype))))
+    hik = (jnp.asarray(bt.hik) if hist is None
+           else jnp.asarray(np.zeros((bt.hik.shape[0], 1, LANES), np.int8)))
     ft = BandedDeviceFwd(
         lvw=jnp.asarray(bt.lvw), w=w,
         rposf=jnp.asarray(bt.rposf), src=jnp.asarray(bt.src),
-        hik=jnp.asarray(bt.hik), bp=jnp.asarray(bt.bp),
-        p2=jnp.asarray(p2), covered=jnp.asarray(bt.covered))
+        hik=hik, bp=jnp.asarray(bt.bp),
+        p2=jnp.asarray(p2), covered=jnp.asarray(bt.covered),
+        vpos=None if hist is None else jnp.asarray(hist.vpos),
+        hj=None if hist is None else jnp.asarray(hist.hj))
     meta = RoutedMeta(bt.NCB, bt.SRb * bt.B, bt.KD, bt.G, bt.HI, bt.T,
                       bt.H, bt.n_rays, bt.volume_size, bt.scan_fwd,
                       bt.scan_bwd)
@@ -650,6 +664,137 @@ def _fwd_banded_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta, B: int,
         interpret=interpret,
     )(ft.bp, ft.p2, ft.lvw, ft.w, ft.rposf, ft.src, ft.hik, *([d2] * B))
     # tiles with no bands are never visited -> uninitialized output block
+    return jnp.where(ft.covered[:, None, None] > 0, y, 0.0)
+
+
+def _fwd_banded_hist_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta,
+                            B: int, KV: int, interpret=False,
+                            stage="full"):
+    """Histogram-placement forward reduce (route.hist_pack_fwd; round 5,
+    VERDICT r4 #1).  Fetch and lane-scan stages are identical to
+    :func:`_fwd_banded_pallas`; the reduce replaces the per-bucket
+    masked row-sums (work ~ HI x rows) with
+
+      1. the pass-k run-total gather (``src``, as before),
+      2. a 3-step vertical fold of same-h totals in consecutive band
+         rows (masked shift-adds keyed by ``vpos`` — full-height ops),
+      3. per multiplicity level j < kv(chunk): an 8-row sublane gather
+         placing each folded total at its (h % 8, lane) slot
+         (``take_along_axis(axis=1)`` on the (B, 8, 128) view), and
+      4. one masked (B, 8, 128) -> (8, 128) band reduction per octave
+         o = h >> 3 accumulated into the y block,
+
+    so per-chunk reduce work ~ rows x (kv + OCT/4), nearly independent
+    of HI — the property that unlocks the G-ladder's fill gains (the
+    rows law left this as the one live lever for 100^3)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NCB, SRB, KD, HI, T = meta.NC, meta.SR, meta.KD, meta.HI, meta.T
+    SRb = SRB // B
+    assert SRb == 8, "histogram reduce needs 8-row bands"
+    OCT = (HI + 7) // 8
+
+    def kernel(bp_ref, p2_ref, lvw_ref, w_ref, rposf_ref, src_ref,
+               vpos_ref, hj_ref, *rest):
+        d2refs = rest[:B]
+        y_ref = rest[B]
+        acc_scr = rest[B + 1]
+        b = pl.program_id(0)
+        p2 = p2_ref[b]
+
+        @pl.when((p2 & 0xF) == 1)
+        def _init():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        W = jnp.concatenate([r[:] for r in d2refs], axis=0)  # (SRB, L)
+        wv = w_ref[:]
+        F = jnp.take_along_axis(W, lvw_ref[:].astype(jnp.int32), axis=1) * wv
+        if stage == "fetch":  # profiling-only truncated kernel
+            y_ref[0, 0, :] += jnp.sum(F, axis=0)
+            return
+        rp = rposf_ref[:].astype(jnp.int32)
+        acc_scr[:] = F
+        sd = (p2 >> 8) & 0xF
+        for t in range(meta.scan_fwd):
+
+            @pl.when(sd > t)
+            def _step(s=1 << t):
+                acc_scr[:] += jnp.where(
+                    rp >= s, pltpu.roll(acc_scr[:], s, 1), 0.0)
+
+        acc = acc_scr[:]
+        if stage == "scan":  # profiling-only truncated kernel
+            y_ref[0, 0, :] += jnp.sum(acc, axis=0)
+            return
+
+        kvc = (p2 >> 12) & 0xF
+
+        def reduce_body(kd_eff):
+            for k in range(kd_eff):
+                Rk = jnp.take_along_axis(
+                    acc, src_ref[k].astype(jnp.int32), axis=1)
+                vp = vpos_ref[k].astype(jnp.int32)
+                Fk = jnp.where(vp >= 0, Rk, 0.0)
+                # vertical fold: sum same-h runs down consecutive band
+                # rows (vpos masks block pulls across run/band edges)
+                for t in range(3):
+                    s = 1 << t
+                    shifted = jnp.concatenate(
+                        [jnp.zeros((s, LANES), Fk.dtype), Fk[:-s]], axis=0)
+                    Fk = Fk + jnp.where(vp >= s, shifted, 0.0)
+                F3 = Fk.reshape(B, 8, LANES)
+                for j in range(KV):
+
+                    @pl.when(kvc > j)
+                    def _place(j=j, F3=F3, k=k):
+                        tj = hj_ref[k * KV + j].astype(jnp.int32)
+                        val = ((tj & 0x80) >> 7).astype(F3.dtype)
+                        srcrow = (tj & 7).reshape(B, 8, LANES)
+                        octv = ((tj >> 3) & 15).reshape(B, 8, LANES)
+                        placed = jnp.take_along_axis(
+                            F3, srcrow, axis=1) * val.reshape(B, 8, LANES)
+                        for o in range(OCT):
+                            ro = min(8, HI - 8 * o)
+                            z = jnp.sum(
+                                jnp.where(octv == o, placed, 0.0), axis=0)
+                            y_ref[0, 8 * o:8 * o + ro, :] += z[:ro, :]
+
+        if KD == 1:
+            reduce_body(1)
+        else:
+            km = (p2 >> 4) & 0xF
+            for kd in range(KD):
+                cond = (km == kd) if kd < KD - 1 else (km >= KD - 1)
+
+                @pl.when(cond)
+                def _red(kd_eff=kd + 1):
+                    reduce_body(kd_eff)
+
+    col = pl.BlockSpec((SRB, LANES), lambda b, bp, p2: (b, 0))
+    colk = pl.BlockSpec((KD, SRB, LANES), lambda b, bp, p2: (0, b, 0))
+    colkv = pl.BlockSpec((KD * KV, SRB, LANES), lambda b, bp, p2: (0, b, 0))
+
+    def band_spec(k):
+        return pl.BlockSpec((SRb, LANES),
+                            lambda b, bp, p2, k=k: (bp[k, b], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # bp (B, NCB), packed p2
+        grid=(NCB,),
+        in_specs=[col, col, col, colk, colk, colkv]
+        + [band_spec(k) for k in range(B)],
+        out_specs=pl.BlockSpec((1, HI, LANES),
+                               lambda b, bp, p2: (p2[b] >> 16, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((SRB, LANES), d2.dtype)],
+    )
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, HI, LANES), d2.dtype),
+        interpret=interpret,
+    )(ft.bp, ft.p2, ft.lvw, ft.w, ft.rposf, ft.src, ft.vpos, ft.hj,
+      *([d2] * B))
     return jnp.where(ft.covered[:, None, None] > 0, y, 0.0)
 
 
@@ -1097,30 +1242,37 @@ def _bwd_banded_pallas(dy, btd: BandedDeviceBwd, meta: RoutedMeta, B: int,
     return jnp.where(jnp.repeat(btd.covered, SRb)[:, None] > 0, dD2, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def banded_project(d2, ft: BandedDeviceFwd, btd: BandedDeviceBwd,
                    meta: RoutedMeta, metab: RoutedMeta, B: int,
                    interpret: bool = False, dense_fwd: bool = False,
-                   dense_bwd: bool = False, srb: int = 8):
+                   dense_bwd: bool = False, srb: int = 8,
+                   hist_kv: int = 0):
     """y (T, HI, 128) = band-compacted routed forward projection.
 
     ``meta``/``metab`` are the forward (by-tile) and backward (by-window)
     groupings' metas — their superchunk counts differ in general.
     ``dense_fwd``/``dense_bwd`` select the dense-slot kernels (tables
     from route.band_pack_dense); ``B`` is the classic side's band count
-    and ``srb`` the band height (needed by the dense backward)."""
+    and ``srb`` the band height (needed by the dense backward);
+    ``hist_kv > 0`` selects the histogram-reduce forward kernel with
+    that placement depth (tables from route.hist_pack_fwd)."""
+    if hist_kv:
+        return _fwd_banded_hist_pallas(d2, ft, meta, B, hist_kv,
+                                       interpret=interpret)
     if dense_fwd:
         return _fwd_banded_dense_pallas(d2, ft, meta, interpret=interpret)
     return _fwd_banded_pallas(d2, ft, meta, B, interpret=interpret)
 
 
 def _bp_fwd(d2, ft, btd, meta, metab, B, interpret, dense_fwd, dense_bwd,
-            srb):
+            srb, hist_kv):
     return banded_project(d2, ft, btd, meta, metab, B, interpret,
-                          dense_fwd, dense_bwd, srb), btd
+                          dense_fwd, dense_bwd, srb, hist_kv), btd
 
 
-def _bp_bwd(meta, metab, B, interpret, dense_fwd, dense_bwd, srb, btd, dy):
+def _bp_bwd(meta, metab, B, interpret, dense_fwd, dense_bwd, srb, hist_kv,
+            btd, dy):
     if dense_bwd:
         return (_bwd_banded_dense_pallas(dy, btd, metab, srb,
                                          interpret=interpret),
