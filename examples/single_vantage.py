@@ -37,7 +37,7 @@ ax1.set_title("Nested Shells")
 ax1.imshow(np.asarray(result))
 
 ax2.set_title("View Geometry")
-ani = op.plot(ax2)
+ani = op.plot(ax=ax2)
 
 fig.savefig("single_vantage.png", dpi=80)
 print("saved single_vantage.png")

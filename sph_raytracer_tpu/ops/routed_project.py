@@ -730,6 +730,21 @@ def _fwd_banded_hist_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta,
 
         kvc = (p2 >> 12) & 0xF
 
+        def band_sum(x):
+            """(SRB, L) -> (8, L): sum rows congruent mod 8 (pairwise
+            halving of static 8-aligned slices — Mosaic-safe; 3-D
+            reductions and gathers do not lower).  Handles any band
+            count (B=96: 768 -> 384 -> 192 -> 96 -> 48 -> 24 -> 16 -> 8)."""
+            h = x.shape[0]
+            while h > 8:
+                nb = h // 8
+                k = ((nb + 1) // 2) * 8  # 8-aligned ceil half
+                add = x[:h - k] + x[k:]
+                x = (jnp.concatenate([add, x[h - k:k]], axis=0)
+                     if k > h - k else add)
+                h = k
+            return x
+
         def reduce_body(kd_eff):
             for k in range(kd_eff):
                 Rk = jnp.take_along_axis(
@@ -743,21 +758,25 @@ def _fwd_banded_hist_pallas(d2, ft: BandedDeviceFwd, meta: RoutedMeta,
                     shifted = jnp.concatenate(
                         [jnp.zeros((s, LANES), Fk.dtype), Fk[:-s]], axis=0)
                     Fk = Fk + jnp.where(vp >= s, shifted, 0.0)
-                F3 = Fk.reshape(B, 8, LANES)
                 for j in range(KV):
 
                     @pl.when(kvc > j)
-                    def _place(j=j, F3=F3, k=k):
+                    def _place(j=j, Fk=Fk, k=k):
                         tj = hj_ref[k * KV + j].astype(jnp.int32)
-                        val = ((tj & 0x80) >> 7).astype(F3.dtype)
-                        srcrow = (tj & 7).reshape(B, 8, LANES)
-                        octv = ((tj >> 3) & 15).reshape(B, 8, LANES)
-                        placed = jnp.take_along_axis(
-                            F3, srcrow, axis=1) * val.reshape(B, 8, LANES)
+                        val = ((tj & 0x80) >> 7).astype(Fk.dtype)
+                        srcrow = tj & 7
+                        octv = (tj >> 3) & 15
+                        # per-band 8-row sublane gather (the only
+                        # Mosaic-legal vertical gather)
+                        placed = jnp.concatenate([
+                            jnp.take_along_axis(
+                                Fk[8 * b:8 * b + 8],
+                                srcrow[8 * b:8 * b + 8], axis=0)
+                            for b in range(B)], axis=0) * val
                         for o in range(OCT):
                             ro = min(8, HI - 8 * o)
-                            z = jnp.sum(
-                                jnp.where(octv == o, placed, 0.0), axis=0)
+                            z = band_sum(
+                                jnp.where(octv == o, placed, 0.0))
                             y_ref[0, 8 * o:8 * o + ro, :] += z[:ro, :]
 
         if KD == 1:

@@ -57,6 +57,8 @@ def main():
         routed_voxel_order=os.environ.get("SPH_VO", "a"),
         routed_dense=os.environ.get("SPH_DENSE", "auto"),
         routed_w_dtype=os.environ.get("SPH_WDT", "f32"),
+        routed_fwd_reduce=os.environ.get("SPH_FR", "masks"),
+        routed_build=os.environ.get("SPH_BUILD", "auto"),
     )
     t0 = time.time()
     op = Operator(grid, geom, config=cfg, ftype=jnp.float32)
