@@ -641,35 +641,52 @@ class ShardedOperator(Operator):
         flat2 = density.reshape(-1, self._flat_size)
 
         if self._sharded_routed == "banded":
-            from ..ops.trace import voxel_order_flat
-            from .routed_sharded import sharded_banded_project
+            from ..operator import _over_channels
 
-            df, db = getattr(self, "_sb_dense", (False, False))
-            outs = []
-            for i in range(flat2.shape[0]):
-                d2 = self._sb_rt8.pad_density(voxel_order_flat(
-                    flat2[i], self.grid.vshape, self._vorder))
-                y = sharded_banded_project(
-                    self.mesh, self._sb_ft, self._sb_bt, self._sb_meta,
-                    self._sb_metab, self._sb_B, d2,
-                    interpret=bool(self.config.interpret),
-                    dense_fwd=df, dense_bwd=db,
-                    srb=self.config.routed_band_rows)
-                outs.append(y.reshape(-1)[: self._nrays])
-            out = jnp.stack(outs)
+            fn = getattr(self, "_sb_chan_fn", None)
+            if fn is None:
+                from ..ops.trace import voxel_order_flat
+                from .routed_sharded import sharded_banded_project
+
+                df, db = getattr(self, "_sb_dense", (False, False))
+                rt8, mesh = self._sb_rt8, self.mesh
+                meta, metab, B = self._sb_meta, self._sb_metab, self._sb_B
+                vshape, vo = tuple(self.grid.vshape), self._vorder
+                interp = bool(self.config.interpret)
+                srb, nrays = self.config.routed_band_rows, self._nrays
+
+                def fn(f, ft, bt):
+                    d2 = rt8.pad_density(voxel_order_flat(f, vshape, vo))
+                    y = sharded_banded_project(
+                        mesh, ft, bt, meta, metab, B, d2,
+                        interpret=interp, dense_fwd=df, dense_bwd=db,
+                        srb=srb)
+                    return y.reshape(-1)[:nrays]
+
+                # memoized so _chan_scan's static-fn jit cache hits
+                self._sb_chan_fn = fn
+            out = _over_channels(fn, flat2, self._sb_ft, self._sb_bt)
         elif self._sharded_routed:
-            from ..ops.trace import voxel_order_flat
-            from .routed_sharded import sharded_routed_project
+            from ..operator import _over_channels
 
-            rt, meta = self._srt_rt, self._srt_meta
-            outs = []
-            for i in range(flat2.shape[0]):
-                d2 = rt.pad_density(voxel_order_flat(
-                    flat2[i], self.grid.vshape, self._vorder))
-                y = sharded_routed_project(
-                    self.mesh, self._srt_tables, meta, d2, self._use_pallas)
-                outs.append(y.reshape(-1)[: self._nrays])
-            out = jnp.stack(outs)
+            fn = getattr(self, "_srt_chan_fn", None)
+            if fn is None:
+                from ..ops.trace import voxel_order_flat
+                from .routed_sharded import sharded_routed_project
+
+                rt, meta = self._srt_rt, self._srt_meta
+                mesh, use_pallas = self.mesh, self._use_pallas
+                vshape, vo = tuple(self.grid.vshape), self._vorder
+                nrays = self._nrays
+
+                def fn(f, tables):
+                    d2 = rt.pad_density(voxel_order_flat(f, vshape, vo))
+                    y = sharded_routed_project(mesh, tables, meta, d2,
+                                               use_pallas)
+                    return y.reshape(-1)[:nrays]
+
+                self._srt_chan_fn = fn
+            out = _over_channels(fn, flat2, self._srt_tables)
         elif self._mode == "precomputed":
             out = _sharded_project_table(self.mesh, flat2, self.lin, self.lens)
         else:
@@ -689,48 +706,65 @@ class ShardedOperator(Operator):
         chan = y.shape[:nlead]
         y2 = y.reshape(-1, self._nrays)
         if self._sharded_routed == "banded":
-            from ..ops.route import LANES
-            from .routed_sharded import sharded_banded_backproject
+            from ..operator import _over_channels
 
-            meta = self._sb_metab
-            D = int(self.mesh.devices.size)
-            total = D * meta.T * meta.G
-            outs = []
-            for i in range(y2.shape[0]):
-                yf = jnp.concatenate(
-                    [y2[i], jnp.zeros((total - self._nrays,), y2.dtype)]
-                ).reshape(D * meta.T, meta.HI, LANES)
-                d2 = sharded_banded_backproject(
-                    self.mesh, self._sb_bt, meta, self._sb_B, yf,
-                    interpret=bool(self.config.interpret),
-                    dense_bwd=getattr(self, "_sb_dense",
-                                      (False, False))[1],
-                    srb=self.config.routed_band_rows)
+            fn = getattr(self, "_sb_adj_fn", None)
+            if fn is None:
+                from ..ops.route import LANES
                 from ..ops.trace import voxel_order_unflat
+                from .routed_sharded import sharded_banded_backproject
 
-                outs.append(voxel_order_unflat(
-                    self._sb_rt8.unpad_density(d2), self.grid.vshape,
-                    self._vorder))
-            return jnp.stack(outs).reshape(*chan, *self.grid.shape)
+                meta = self._sb_metab
+                D = int(self.mesh.devices.size)
+                total = D * meta.T * meta.G
+                mesh, B = self.mesh, self._sb_B
+                interp = bool(self.config.interpret)
+                db = getattr(self, "_sb_dense", (False, False))[1]
+                srb, nrays = self.config.routed_band_rows, self._nrays
+                rt8 = self._sb_rt8
+                vshape, vo = tuple(self.grid.vshape), self._vorder
+
+                def fn(yflat, bt):
+                    yf = jnp.concatenate(
+                        [yflat, jnp.zeros((total - nrays,), yflat.dtype)]
+                    ).reshape(D * meta.T, meta.HI, LANES)
+                    d2 = sharded_banded_backproject(
+                        mesh, bt, meta, B, yf, interpret=interp,
+                        dense_bwd=db, srb=srb)
+                    return voxel_order_unflat(
+                        rt8.unpad_density(d2), vshape, vo)
+
+                self._sb_adj_fn = fn
+            out = _over_channels(fn, y2, self._sb_bt)
+            return out.reshape(*chan, *self.grid.shape)
         if self._sharded_routed:
-            from ..ops.route import LANES
-            from .routed_sharded import sharded_routed_backproject
+            from ..operator import _over_channels
 
-            rt, meta = self._srt_rt, self._srt_meta
-            D = int(self.mesh.devices.size)
-            total = D * meta.T * meta.G
-            outs = []
-            for i in range(y2.shape[0]):
-                yf = jnp.concatenate(
-                    [y2[i], jnp.zeros((total - self._nrays,), y2.dtype)]
-                ).reshape(D * meta.T, meta.HI, LANES)
-                d2 = sharded_routed_backproject(
-                    self.mesh, self._srt_tables, meta, yf, self._use_pallas)
+            fn = getattr(self, "_srt_adj_fn", None)
+            if fn is None:
+                from ..ops.route import LANES
                 from ..ops.trace import voxel_order_unflat
+                from .routed_sharded import sharded_routed_backproject
 
-                outs.append(voxel_order_unflat(
-                    rt.unpad_density(d2), self.grid.vshape, self._vorder))
-            return jnp.stack(outs).reshape(*chan, *self.grid.shape)
+                rt, meta = self._srt_rt, self._srt_meta
+                D = int(self.mesh.devices.size)
+                total = D * meta.T * meta.G
+                mesh, use_pallas = self.mesh, self._use_pallas
+                nrays = self._nrays
+                vshape, vo = tuple(self.grid.vshape), self._vorder
+
+                def fn(yflat, tables):
+                    yf = jnp.concatenate(
+                        [yflat, jnp.zeros((total - nrays,), yflat.dtype)]
+                    ).reshape(D * meta.T, meta.HI, LANES)
+                    d2 = sharded_routed_backproject(
+                        mesh, tables, meta, yf, use_pallas)
+                    return voxel_order_unflat(
+                        rt.unpad_density(d2), vshape, vo)
+
+                self._srt_adj_fn = fn
+            out = _over_channels(fn, y2, self._srt_tables)
+            return out.reshape(*chan, *self.grid.shape)
         pad = self._xs.shape[0] - self._nrays
         if pad:
             y2 = jnp.concatenate(

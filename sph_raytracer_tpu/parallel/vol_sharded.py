@@ -276,33 +276,42 @@ class VolShardedOperator:
         return y.reshape(-1)[: self._nrays]
 
     def __call__(self, density):
+        from ..operator import _over_channels
+
         density = jnp.asarray(density)
         gshape = tuple(self.grid.shape)
         chan = density.shape[: -len(gshape)]
         flat = density.reshape(-1, self._flat_size)
-        out = jnp.stack([
-            self._fwd_one(flat[i], self._ft, self._bt)
-            for i in range(flat.shape[0])
-        ])
+        fn = getattr(self, "_fwd_chan_fn", None)
+        if fn is None:
+            # memoized so _chan_scan's static-fn jit cache hits
+            fn = self._fwd_chan_fn = self._fwd_one
+        out = _over_channels(fn, flat, self._ft, self._bt)
         return out.reshape(*chan, *self._rshape)
 
+    def _adj_one(self, yflat, bt):
+        pad = self._mf.T * self._mf.G - self._nrays
+        yt = jnp.concatenate(
+            [yflat.astype(jnp.float32),
+             jnp.zeros((pad,), jnp.float32)]).reshape(
+                 self._mf.T, self._mf.HI, LANES)
+        d2 = vol_sharded_banded_backproject(
+            self.mesh, bt, self._mb, self.config.routed_bands,
+            yt, interpret=self._interp)
+        return self._unpad_d2(d2)
+
     def T(self, line_integrations):
+        from ..operator import _over_channels
+
         y = jnp.asarray(line_integrations)
         nlead = y.ndim - len(self._rshape)
         chan = y.shape[:nlead]
         yf = y.reshape(-1, self._nrays)
-        outs = []
-        for i in range(yf.shape[0]):
-            pad = self._mf.T * self._mf.G - self._nrays
-            yt = jnp.concatenate(
-                [yf[i].astype(jnp.float32),
-                 jnp.zeros((pad,), jnp.float32)]).reshape(
-                     self._mf.T, self._mf.HI, LANES)
-            d2 = vol_sharded_banded_backproject(
-                self.mesh, self._bt, self._mb, self.config.routed_bands,
-                yt, interpret=self._interp)
-            outs.append(self._unpad_d2(d2).astype(y.dtype))
-        return jnp.stack(outs).reshape(*chan, *self.grid.shape)
+        fn = getattr(self, "_adj_chan_fn", None)
+        if fn is None:
+            fn = self._adj_chan_fn = self._adj_one
+        out = _over_channels(fn, yf, self._bt)
+        return out.astype(y.dtype).reshape(*chan, *self.grid.shape)
 
     # ------------------------------------------------------------------
     @property

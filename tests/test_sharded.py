@@ -446,3 +446,25 @@ def test_osem_with_sharded_operator():
     xs, _, _ = mlem(sop, y, num_iterations=6, subsets=2)
     xp, _, _ = mlem(op, y, num_iterations=6, subsets=2)
     assert np.allclose(np.asarray(xs), np.asarray(xp), atol=1e-12)
+
+
+def test_sharded_banded_channels(setup):
+    """Multi-channel __call__/T() through the BANDED sharded engine runs
+    as one compiled scan dispatch (round 5) and matches per-channel
+    calls bitwise (all math inside the shard_map'd kernels)."""
+    from sph_raytracer_tpu.config import TraceConfig
+
+    grid, geom, op, x = setup
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    assert sop._sharded_routed == "banded"
+    xc = jnp.stack([x.astype(jnp.float32),
+                    (x * 2).astype(jnp.float32),
+                    (x + 1).astype(jnp.float32)])
+    yb = np.asarray(sop(xc))
+    yl = np.stack([np.asarray(sop(xc[i])) for i in range(3)])
+    assert np.array_equal(yb, yl)
+    tb = np.asarray(sop.T(yb))
+    tl = np.stack([np.asarray(sop.T(yb[i])) for i in range(3)])
+    assert np.array_equal(tb, tl)
