@@ -779,7 +779,33 @@ class Operator:
         def proj(flat):
             return self._fused_pallas_fwd_one(flat)
 
+        def _staged(x):
+            # True only under jit/scan STAGING (where concrete arrays
+            # used in the trace become HLO constants) — a plain eager
+            # jax.grad wraps concrete values in linearize tracers and
+            # bakes nothing
+            from jax._src.interpreters.partial_eval import (
+                DynamicJaxprTracer,
+            )
+
+            while isinstance(x, jax.core.Tracer):
+                if isinstance(x, DynamicJaxprTracer):
+                    return True
+                x = getattr(x, "primal", getattr(x, "val", None))
+            return False
+
         def proj_f(flat):
+            if _staged(flat):
+                import warnings
+
+                warnings.warn(
+                    "mode='fused' gradient inside jit without payload "
+                    "threading: the banded backward tables enter this "
+                    "trace as CONSTANTS (GB-scale at production "
+                    "configs; relayed backends may reject the HLO). "
+                    "Thread op.payload through the jit boundary "
+                    "(gd()/solve.* do this) — see Operator.payload.",
+                    stacklevel=2)
             self._ensure_fused_btd()
             return proj(flat), self._fused_btd
 
@@ -994,6 +1020,15 @@ class Operator:
         t0 = time.time()
         wdt = self._w_dtype(btF.SRb * btF.B, btB.SRb * btB.B)
         hist = None
+        if cfg.routed_fwd_reduce == "hist" and df:
+            import warnings
+
+            warnings.warn(
+                "routed_fwd_reduce='hist' requested but DENSE forward "
+                "slots were selected (routed_dense / cached layout); "
+                "running the masks reduce instead — set "
+                "routed_dense='off' to force the hist kernel",
+                stacklevel=2)
         if cfg.routed_fwd_reduce == "hist" and not df:
             from .ops.route import hist_pack_fwd
 
@@ -1073,6 +1108,13 @@ class Operator:
         (see :attr:`payload`)."""
         import copy
 
+        if "fbtd" in payload and getattr(self, "_fused_metab", None) is None:
+            # payload came from ANOTHER instance and this one never
+            # built the fused hybrid: materialize the kernel closures +
+            # routing metadata the threaded tables plug into (the
+            # deferred fused_bwd='auto' build; deterministic — same
+            # config/geometry produce the same layout)
+            self._ensure_fused_btd()
         new = copy.copy(self)
         if "dt" in payload:
             new._dt = payload["dt"]

@@ -180,6 +180,14 @@ class ShardedOperator(Operator):
         mode = self._mode
         self._sharded_routed = None
         if mode == "routed":
+            if self.config.routed_fwd_reduce != "masks":
+                import warnings
+
+                warnings.warn(
+                    f"routed_fwd_reduce={self.config.routed_fwd_reduce!r}"
+                    " is not plumbed through the ray-sharded table "
+                    "build; the masks reduce runs on every shard",
+                    stacklevel=2)
             self._build_sharded_routed()
             return
         cfg = self.config

@@ -205,6 +205,13 @@ class VolShardedOperator:
             cfg = cfg.replace(ftype=ftype)
         cfg = cfg.replace(mode="routed")
         self.config = cfg
+        if cfg.routed_fwd_reduce != "masks":
+            import warnings
+
+            warnings.warn(
+                f"routed_fwd_reduce={cfg.routed_fwd_reduce!r} is not "
+                "plumbed through the volume-sharded table build; the "
+                "masks reduce runs on every shard", stacklevel=2)
         kwargs = {}
         if view_times is not None:
             kwargs["view_times"] = view_times

@@ -303,6 +303,67 @@ def test_fused_bwd_auto_lazy():
     assert op_cpu._fused_bwd == "retrace" and not op_cpu._fused_bwd_lazy
 
 
+def test_fused_auto_payload_cross_instance():
+    """with_payload carrying an 'fbtd' payload onto a SECOND operator
+    that never built its hybrid (checkpoint/restart, rebuild-per-stage)
+    must materialize the receiving instance's kernel closures and run
+    the threaded tables — round-5 review fix; previously
+    AttributeError on _fused_hybrid_proj/_fused_adj."""
+    grid = SphericalGrid(shape=(12, 8, 8))
+    geom = sum(
+        ConeRectGeom((6, 8), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))
+    x = jnp.asarray(np.random.default_rng(7).random(tuple(grid.shape)),
+                    jnp.float32)
+    cfg = TraceConfig(mode="fused", interpret=True,
+                      fused_backend="pallas", routed_g=128,
+                      routed_chunk_multiple=2)
+    op1 = Operator(grid, geom, config=cfg)
+    pl = op1.payload  # triggers the lazy bwd-only build on op1
+    assert "fbtd" in pl
+    op2 = Operator(grid, geom, config=cfg)
+    assert op2._fused_btd is None
+    y2 = np.asarray(op2.with_payload(pl)(x))
+    # same zero-table fused forward kernel either way
+    assert np.array_equal(y2, np.asarray(op1(x)))
+    # adjoint + gradient flow through the THREADED tables (deterministic
+    # build => byte-identical to op2's own, so bitwise against op1)
+    bt = np.asarray(op2.with_payload(pl).T(jnp.asarray(y2)))
+    assert np.array_equal(bt, np.asarray(op1.T(jnp.asarray(y2))))
+    g2 = np.asarray(jax.grad(
+        lambda d: jnp.mean(op2.with_payload(pl)(d) ** 2))(x))
+    g1 = np.asarray(jax.grad(
+        lambda d: jnp.mean(op1.with_payload(pl)(d) ** 2))(x))
+    assert np.array_equal(g2, g1)
+
+
+def test_fused_auto_staged_constants_warns():
+    """fused_bwd='auto' gradient taken inside a jit WITHOUT payload
+    threading bakes the banded tables into the trace as constants
+    (CLAUDE.md relay landmine) — the lazy VJP rule must warn; a plain
+    eager gradient (no staging, nothing baked) must not."""
+    import warnings as _w
+
+    grid = SphericalGrid(shape=(12, 8, 8))
+    geom = sum(
+        ConeRectGeom((6, 8), pos=(2 * np.cos(t), 2 * np.sin(t), 0.3),
+                     fov=(45, 45))
+        for t in np.linspace(0, 2 * np.pi, 3, endpoint=False))
+    x = jnp.asarray(np.random.default_rng(8).random(tuple(grid.shape)),
+                    jnp.float32)
+    cfg = TraceConfig(mode="fused", interpret=True,
+                      fused_backend="pallas", routed_g=128,
+                      routed_chunk_multiple=2)
+    op = Operator(grid, geom, config=cfg)
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        jax.grad(lambda d: jnp.mean(op(d) ** 2))(x)  # eager: no warning
+    op_j = Operator(grid, geom, config=cfg)
+    with pytest.warns(UserWarning, match="CONSTANTS"):
+        jax.jit(jax.grad(lambda d: jnp.mean(op_j(d) ** 2)))(x)
+
+
 def test_channel_batching_one_dispatch():
     """Round 5 (VERDICT r4 #3): multi-channel __call__ / T() run as ONE
     compiled lax.scan dispatch instead of a Python loop of kernel

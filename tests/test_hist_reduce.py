@@ -116,3 +116,25 @@ def test_hist_validation():
         Operator(grid, geom, config=TraceConfig(
             routed_fwd_reduce="hist", routed_band_rows=16),
             _compute=False)
+
+
+def test_hist_ignored_paths_warn():
+    """The hist opt-in must never degrade SILENTLY (round-5 review):
+    the sharded builds run the masks reduce on every shard, and dense
+    forward slots preclude the hist layout — each path warns."""
+    from sph_raytracer_tpu.parallel import (
+        ShardedOperator,
+        VolShardedOperator,
+        make_mesh,
+    )
+
+    grid, geom = _mk(3, (6, 8), (12, 8, 8))
+    cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
+                      routed_chunk_multiple=2, routed_fwd_reduce="hist")
+    with pytest.warns(UserWarning, match="not .*plumbed|masks"):
+        ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    with pytest.warns(UserWarning, match="not .*plumbed|masks"):
+        VolShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    # dense forward slots force the masks reduce (warned, not silent)
+    with pytest.warns(UserWarning, match="masks"):
+        Operator(grid, geom, config=cfg.replace(routed_dense="fwd"))

@@ -423,10 +423,10 @@ def test_cg_with_sharded_operator(setup):
 
 
 def test_osem_with_sharded_operator():
-    """Ordered-subsets ML-EM (subsets=K) over the ray-sharded banded
-    engine: per-subset sweeps slice the view axis while the volume
-    update psums across the ray mesh; matches the single-device OS-EM
-    run bit-near-identically."""
+    """Ordered-subsets ML-EM (subsets=K) over the ray-sharded BANDED
+    engine (interpret-mode kernels on the 8-device mesh): per-subset
+    sweeps slice the view axis while the volume update psums across the
+    ray mesh; matches the single-device OS-EM run to f32 accuracy."""
     from sph_raytracer_tpu.config import TraceConfig
     from sph_raytracer_tpu.solve import mlem
 
@@ -438,14 +438,17 @@ def test_osem_with_sharded_operator():
     )
     x = jnp.asarray(np.random.default_rng(3).random(tuple(grid.shape)),
                     jnp.float32)
-    op = Operator(grid, geom, ftype=jnp.float64)
+    op = Operator(grid, geom)
     y = op(x)
     cfg = TraceConfig(mode="routed", interpret=True, routed_g=128,
-                      routed_chunk_multiple=2, ftype=jnp.float64)
-    sop = ShardedOperator(grid, geom, mesh=make_mesh(), ftype=jnp.float64)
-    xs, _, _ = mlem(sop, y, num_iterations=6, subsets=2)
-    xp, _, _ = mlem(op, y, num_iterations=6, subsets=2)
-    assert np.allclose(np.asarray(xs), np.asarray(xp), atol=1e-12)
+                      routed_chunk_multiple=2)
+    sop = ShardedOperator(grid, geom, mesh=make_mesh(), config=cfg)
+    xs, _, _ = mlem(sop, y, num_iterations=4, subsets=2)
+    xp, _, _ = mlem(op, y, num_iterations=4, subsets=2)
+    # engines differ (banded interpret kernels vs XLA gather), so the
+    # match is f32-near, not bitwise
+    assert np.allclose(np.asarray(xs), np.asarray(xp),
+                       rtol=1e-4, atol=1e-5)
 
 
 def test_sharded_banded_channels(setup):

@@ -57,11 +57,10 @@ def band_stats(rt8, name):
         b_idx, r_idx, l_idx = np.nonzero(live)
         h_val = hv[b_idx, r_idx, l_idx]
         key = (b_idx.astype(np.int64) * 128 + l_idx) * HI + h_val
-        _, counts = np.unique(key, return_counts=True)
+        ukey, counts = np.unique(key, return_counts=True)
         cc = np.minimum(counts, 9)
         kv_hist += np.bincount(cc, minlength=10)
-        # per-band max multiplicity
-        ukey, counts = np.unique(key, return_counts=True)
+        # per-band max multiplicity (same unique serves both uses)
         band_of = (ukey // HI) // 128
         np.maximum.at(kv_per_band, band_of, counts)
     n_pairs = kv_hist.sum()
