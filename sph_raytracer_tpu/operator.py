@@ -783,10 +783,15 @@ class Operator:
             # True only under jit/scan STAGING (where concrete arrays
             # used in the trace become HLO constants) — a plain eager
             # jax.grad wraps concrete values in linearize tracers and
-            # bakes nothing
-            from jax._src.interpreters.partial_eval import (
-                DynamicJaxprTracer,
-            )
+            # bakes nothing.  Advisory only: if the private tracer
+            # class moves in a future JAX, skip the warning rather
+            # than break every fused-auto gradient.
+            try:
+                from jax._src.interpreters.partial_eval import (
+                    DynamicJaxprTracer,
+                )
+            except ImportError:
+                return False
 
             while isinstance(x, jax.core.Tracer):
                 if isinstance(x, DynamicJaxprTracer):
@@ -1113,8 +1118,13 @@ class Operator:
             # built the fused hybrid: materialize the kernel closures +
             # routing metadata the threaded tables plug into (the
             # deferred fused_bwd='auto' build; deterministic — same
-            # config/geometry produce the same layout)
+            # config/geometry produce the same layout).  One-time cost:
+            # the full bwd-only table build (metadata cannot exist
+            # without routing).  Adopt the payload's byte-identical
+            # tables afterwards so this instance doesn't keep a
+            # duplicate set resident in device memory.
             self._ensure_fused_btd()
+            self._fused_btd = payload["fbtd"]
         new = copy.copy(self)
         if "dt" in payload:
             new._dt = payload["dt"]
